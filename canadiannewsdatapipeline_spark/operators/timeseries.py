@@ -1,0 +1,36 @@
+"""Time-series resample with gap-filling (SURVEY.md §2.4 A7).
+
+The reference does ``set_index(publishedat).resample('D').mean()`` in
+pandas (sentiment_dashboard.py:296-300) — single-machine only. Here:
+a day-grain groupBy joined against a generated date spine
+(``sequence`` + ``explode``), so missing days surface as NULL rows
+exactly like pandas resample. Distributed: the spine is a few thousand
+rows (broadcast), the aggregate is one shuffle with map-side partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_resample(
+    df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[tuple[Column, str]],
+) -> DataFrame:
+    """Daily aggregate over ``ts_col`` with a continuous date spine.
+
+    ``aggs`` is a list of (aggregate_column, alias) pairs evaluated per
+    day; days in [min, max] with no rows appear with NULL aggregates.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(day.alias("day")).agg(
+        *[a.alias(name) for a, name in aggs]
+    )
+    spine = df.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return spine.join(F.broadcast(daily), "day", "left")

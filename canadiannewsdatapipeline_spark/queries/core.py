@@ -1,0 +1,726 @@
+"""Relational operator corpus (SURVEY.md §2.2-§2.8) over the driver's
+TPC-H-ish warehouse, each with a DuckDB oracle.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7.4):
+
+- Aggregates over floating-point money columns are computed as exact
+  DECIMAL sums and only then cast to DOUBLE — double summation order
+  differs between engines, decimal summation cannot.
+- Every window / top-K has an explicit total-order tiebreaker.
+- Averages are exact-decimal-sum / count (one deterministic IEEE
+  division) rather than native ``avg``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import EMAIL_PATTERN, PUNCT_CLASS
+from ..functions.keys import surrogate_key
+from ..operators.backfill import backfill_within_group, disjunctive_group_min
+from ..operators.dedup_window import (
+    distinct_on,
+    keep_first_by_order,
+    latest_row_per_key,
+    top_n_per_group,
+)
+from ..operators.timeseries import daily_resample
+from ..operators.topk import top_k_words
+from ..sources.registry import load_table
+from .registry import register
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _dsum(col, prec: int = 12, scale: int = 2):
+    """Exact decimal sum rendered as double — engine-portable."""
+    return F.sum(_dec(col, prec, scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1 analog — TPC-H Q1 pricing summary (A4 group-avg + F19/F20 casts).
+# Reference shape: sentiment_dashboard.py:194-199 (group-by multi-agg).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    charge = disc_price * (one + _dec("l_tax", 4, 2))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount", 4, 2) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 analog — dashboard Q1 (J3 left-join chain + A3 DISTINCT ON + P5 BETWEEN,
+# sentiment_dashboard.py:36-49): latest lineitem per order joined to
+# customer/nation dims.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_enriched_join_dedup",
+    """
+    WITH latest AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_extendedprice DESC) AS rn
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, o.o_orderpriority,
+           c.c_name, n.n_name AS nation_name,
+           l.l_linenumber AS last_linenumber,
+           l.l_extendedprice AS last_price
+    FROM orders o
+    JOIN latest l ON l.l_orderkey = o.o_orderkey AND l.rn = 1
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+)
+def q2_enriched_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # l_linenumber alone is not a total order per orderkey in the
+    # synthetic data; l_extendedprice breaks the remaining ties.
+    latest = latest_row_per_key(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        keys=["l_orderkey"],
+        ts_col="l_linenumber",
+        tiebreakers=["l_extendedprice"],
+    )
+    return (
+        orders.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+        )
+        .join(latest, orders.o_orderkey == latest.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_orderpriority",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("l_linenumber").alias("last_linenumber"),
+            F.col("l_extendedprice").alias("last_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 analog — bias histogram (A5 value_counts, sentiment_dashboard.py:263).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_value_counts",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(CASE WHEN value > 10 THEN 1 END) AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def q3_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") > 10, 1)).alias("n_big"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 analog — overall mean ± sample std (A6, sentiment_dashboard.py:349-359).
+# Manual moment formula over exact decimal sums so both engines do the
+# identical double arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_mean_std",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+      FROM orders
+    )
+    SELECT n, sm / n AS mean_price,
+           SQRT((sq - sm * sm / n) / (n - 1)) AS std_price
+    FROM s
+    """,
+)
+def q6_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = _dec("o_totalprice", 18, 2)
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("double").alias("sm"),
+        F.sum(p * p).cast("double").alias("sq"),
+    )
+    return s.select(
+        "n",
+        (F.col("sm") / F.col("n")).alias("mean_price"),
+        F.sqrt(
+            (F.col("sq") - F.col("sm") * F.col("sm") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 analog — daily resample with gap-filled date spine (A7,
+# sentiment_dashboard.py:296-300).
+# ---------------------------------------------------------------------------
+@register(
+    "q7_daily_timeseries",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.day, d.n, d.avg_value
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def q7_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return daily_resample(
+        ev,
+        "ts",
+        [
+            (F.count(F.lit(1)), "n"),
+            (_dsum("value") / F.count(F.lit(1)), "avg_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 analog — top-50 word frequency (A8/UD3, sentiment_dashboard.py:138-166).
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("a", "the")
+
+
+@register(
+    "q8_top_words",
+    f"""
+    SELECT w.word, COUNT(*) AS n
+    FROM documents d,
+         unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w(word)
+    WHERE w.word NOT IN {_STOPWORDS!r}
+    GROUP BY w.word
+    ORDER BY n DESC, w.word ASC
+    LIMIT 50
+    """.replace("'a', 'the'", "'a', 'the'"),
+)
+def q8_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_k_words(docs, "text", k=50, stopwords=_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# P-family — casts/renames + predicate battery (P1, P3-P6, P8;
+# stg_articles.sql:7-23, sentiment_batch_job_tasks.py:46-57).
+# ---------------------------------------------------------------------------
+@register(
+    "p_filter_project",
+    """
+    SELECT doc_id AS document_id,
+           CAST(source AS VARCHAR) AS source_name,
+           CAST(n_chars AS BIGINT) AS content_length,
+           lang AS language
+    FROM documents
+    WHERE lang = 'en'
+      AND n_chars >= 200
+      AND text LIKE '%spark%'
+      AND source NOT IN ('src0')
+      AND length(text) >= 20
+    """,
+)
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") >= 200)
+            & F.col("text").contains("spark")
+            & ~F.col("source").isin("src0")
+            & (F.length("text") >= 20)
+        )
+        .select(
+            F.col("doc_id").alias("document_id"),
+            F.col("source").cast("string").alias("source_name"),
+            F.col("n_chars").cast("long").alias("content_length"),
+            F.col("lang").alias("language"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — per-group top-N (the reference's per-source links[:n] slice,
+# get_news.py:338-340), distributed via row_number.
+# ---------------------------------------------------------------------------
+@register(
+    "p12_top_n_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def p12_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return top_n_per_group(
+        o,
+        keys=["o_custkey"],
+        order=[F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        n=3,
+    ).select("o_custkey", "o_orderkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# J2/A1 — latest-row-per-key dedup (articles.sql:36-58 rewrite).
+# ---------------------------------------------------------------------------
+@register(
+    "j2_latest_row_per_key",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def j2_latest_row_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_row_per_key(
+        ev, keys=["user_id"], ts_col="ts", tiebreakers=["event_id"]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# J4-J6 — correlated backfill as window aggregate (transformed.sql:41-54).
+# Synthetic missingness (orderkey % 7) so the backfill observably fires.
+# ---------------------------------------------------------------------------
+@register(
+    "j4_backfill_within_group",
+    """
+    SELECT o_orderkey, o_custkey,
+           COALESCE(pr, MAX(pr) OVER (PARTITION BY o_custkey)) AS priority_filled
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      FROM orders
+    )
+    """,
+)
+def j4_backfill_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+    )
+    return backfill_within_group(
+        o, "pr", keys=["o_custkey"], strategy="max", out_col="priority_filled"
+    ).select("o_orderkey", "o_custkey", "priority_filled")
+
+
+# ---------------------------------------------------------------------------
+# J7 — disjunctive correlated MIN -> least() of per-partitioning window
+# mins (transformed.sql:191-205, SURVEY.md §4.2 item 2).
+# ---------------------------------------------------------------------------
+@register(
+    "j7_disjunctive_min",
+    """
+    SELECT l_orderkey, l_linenumber,
+           LEAST(MIN(l_shipdate) OVER (PARTITION BY l_partkey, l_returnflag),
+                 MIN(l_shipdate) OVER (PARTITION BY l_suppkey, l_returnflag),
+                 MIN(l_shipdate) OVER (PARTITION BY l_orderkey, l_returnflag)) AS fixed_shipdate
+    FROM lineitem
+    """,
+)
+def j7_disjunctive_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return disjunctive_group_min(
+        li,
+        "l_shipdate",
+        partitionings=[
+            ("l_partkey", "l_returnflag"),
+            ("l_suppkey", "l_returnflag"),
+            ("l_orderkey", "l_returnflag"),
+        ],
+        out_col="fixed_shipdate",
+    ).select("l_orderkey", "l_linenumber", "fixed_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# J8 — referential-integrity anti-join (dbt relationships tests,
+# datamarts.yaml:9-70).
+# ---------------------------------------------------------------------------
+@register(
+    "j8_anti_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+    )
+    """,
+)
+def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# A2 — DISTINCT projection (authors.sql:3-11 / sources.sql:2-9).
+# ---------------------------------------------------------------------------
+@register(
+    "a2_distinct_projection",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def a2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A3 — DISTINCT ON with deterministic ordering (articles.sql:7-19 rewrite).
+# ---------------------------------------------------------------------------
+@register(
+    "a3_distinct_on",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def a3_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return distinct_on(
+        o, keys=["o_custkey"], order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# U1 — union-all of per-source extracts (newsairflowtasks.py:44-52).
+# ---------------------------------------------------------------------------
+@register(
+    "u1_union_by_name",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n FROM (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    ) GROUP BY o_orderpriority
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderpriority")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+    return big.unionByName(recent).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — order-preserving dedup (utils.py:72 ``dict.fromkeys`` rewrite).
+# ---------------------------------------------------------------------------
+@register(
+    "u2_first_occurrence_dedup",
+    """
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def u2_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return keep_first_by_order(
+        ev, keys=["user_id", "event_type"], pos_col="event_id"
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# F-family — scalar string functions (F1-F7: lower/left/punct-strip/trim/
+# split_part/length; transformed.sql:73-105, 214-215).
+# ---------------------------------------------------------------------------
+@register(
+    "f_scalar_string",
+    rf"""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_word,
+           substr(lower(text), 1, 50) AS head50,
+           length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS nopunct_len,
+           trim(substr(text, 1, 30)) AS trimmed_head,
+           length(text) AS n_len
+    FROM documents
+    """,
+)
+def f_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.substring(F.lower("text"), 1, 50).alias("head50"),
+        F.length(F.regexp_replace("text", PUNCT_CLASS, "")).alias("nopunct_len"),
+        F.trim(F.substring("text", 1, 30)).alias("trimmed_head"),
+        F.length("text").alias("n_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — dbt_utils surrogate keys, bit-compatible md5 recipe
+# (transformed.sql:236-244, SURVEY.md §1.3).
+# ---------------------------------------------------------------------------
+@register(
+    "f9_surrogate_keys",
+    """
+    SELECT c_custkey,
+           md5(concat_ws('-',
+               COALESCE(CAST(c_name AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               COALESCE(CAST(c_nationkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               COALESCE(CAST(c_mktsegment AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS customer_sk,
+           md5(concat_ws('-',
+               COALESCE(CAST(c_name AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+               COALESCE(CAST(NULLIF(c_mktsegment, 'BUILDING') AS VARCHAR),
+                        '_dbt_utils_surrogate_key_null_'))) AS nullable_sk
+    FROM customer
+    """,
+)
+def f9_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        surrogate_key("c_name", "c_nationkey", "c_mktsegment").alias("customer_sk"),
+        surrogate_key(
+            F.col("c_name"), F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+        ).alias("nullable_sk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 + F20 + F22 — JSON extraction of the doubly-encoded payload +
+# 'N/A' scrub + cast (stg_sentiment.sql:7-11, sentiment_batch_job_tasks.py:
+# 258-292).
+# ---------------------------------------------------------------------------
+@register(
+    "f_json_na_scrub",
+    """
+    SELECT event_id, k_str,
+           CASE WHEN k_str = '69' THEN NULL
+                ELSE CAST(k_str AS DOUBLE) END AS k_clean
+    FROM (
+      SELECT event_id, json_extract_string(props, '$.k') AS k_str
+      FROM events
+    )
+    """,
+)
+def f_json_na_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        F.when(k == "69", None).otherwise(k.cast("double")).alias("k_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/F11 — email regex extract + scrub (get_news.py:27, utils.py:123,
+# sentiment_batch_job_tasks.py:96-105); F12 truncate-at-marker.
+# ---------------------------------------------------------------------------
+@register(
+    "f_email_extract_scrub",
+    rf"""
+    SELECT doc_id,
+           regexp_extract(synth, '{EMAIL_PATTERN}') AS found_email,
+           length(regexp_replace(synth, '{EMAIL_PATTERN}', '', 'g')) AS scrubbed_len,
+           split_part(text, 'window', 1) AS before_marker
+    FROM (
+      SELECT doc_id, text,
+             'contact ' || source || '@news.ca re: ' || text AS synth
+      FROM documents
+    )
+    """,
+)
+def f_email_extract_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(F.lit("contact "), F.col("source"), F.lit("@news.ca re: "), F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(synth, EMAIL_PATTERN, 0).alias("found_email"),
+        F.length(F.regexp_replace(synth, EMAIL_PATTERN, "")).alias("scrubbed_len"),
+        F.split_part(F.col("text"), F.lit("window"), F.lit(1)).alias("before_marker"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — top-K by aggregate (top-50 words twin; here revenue top-10,
+# sentiment_dashboard.py:157,364 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "o3_topk_revenue",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def o3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", 18, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3/Q5 shapes — multi-join aggregates, the bench headliners for
+# join planning (broadcast dims, AQE).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_regional_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation_name"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

@@ -1,0 +1,56 @@
+"""Parquet table registry over the driver's synthetic warehouse.
+
+The reference reads row-oriented Postgres tables via SQL strings
+(sentiment_dashboard.py:30-83, sentiment_batch_job_tasks.py:36-64);
+our engine reads columnar parquet so Catalyst gets predicate pushdown,
+column pruning, and row-group skipping for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which the Spark reader
+# rejects. We read them as raw nanosecond longs and truncate to
+# microsecond timestamps (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+# coercion of the same files).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer DIV: float division would lose precision on e18-scale longs
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every warehouse table as a temp view (for spark.sql)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
