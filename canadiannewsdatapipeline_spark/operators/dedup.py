@@ -1,0 +1,187 @@
+"""Large-scale deduplication operators (BASELINE.json extensions).
+
+The reference only dedups exactly (content-hash surrogate keys +
+latest-row windows, articles.sql:36-58); a 100 TB training-data
+pipeline needs near-dup detection too. All operators here are pure
+DataFrame compositions — no Python UDFs — so they whole-stage-codegen
+and scale by partitioning:
+
+- exact:   one groupBy on a 16-byte md5 — the cheapest possible dedup.
+- n-gram Jaccard: shingle explode -> equi-join on shingle -> count
+  ratio. The join key is the shingle string; at scale you'd hash it
+  (md5) to bound shuffle width — semantics unchanged.
+- MinHash+LSH: the scale path. Signatures are per-(doc, hash-index)
+  MIN aggregates (map-side combinable); banding turns O(n^2) pair
+  search into an equi-join on (band, band-signature).
+- SimHash: 16-bit fingerprint via per-bit majority vote; near-dups
+  collide on the fingerprint itself (a plain groupBy).
+
+Hash functions are md5-derived so Spark and any SQL oracle agree
+byte-for-byte (no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z]+"
+
+
+def tokens_col(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def normalize_text(c):
+    """lower + collapse whitespace + trim — canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via md5 of normalized text: one row per content
+    hash with the group size and the canonical (min-id) member."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingle_set(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    t = tokens_col(text_col)
+    parts = ", ".join(f"t[j + {k}]" for k in range(n))
+    shingles = F.expr(
+        f"transform(sequence(0, size(t) - {n}), j -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), t.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold.
+
+    Exact (quadratic in colliding docs): the baseline near-dup oracle.
+    Use minhash_lsh_candidates for the scale path and feed only its
+    candidates through this verification.
+    """
+    sh = shingle_set(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """(id, hash_index, minhash) — minhash_i = MIN over shingles of
+    md5(i || ':' || shingle). md5-keyed so any engine reproduces it."""
+    sh = shingle_set(df, text_col, id_col, n)
+    return (
+        sh.select("id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"))
+        .select(
+            "id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: candidate pairs sharing >= 1 band signature, with
+    the number of shared bands. Join key is (band, band_signature) —
+    an equi-join, so AQE/skew handling applies; no quadratic scan."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_sig = F.concat_ws(
+        "|",
+        *[
+            F.max(F.when(F.col("i") % rows_per_band == r, F.col("mh")))
+            for r in range(rows_per_band)
+        ],
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(band_sig.alias("sig"))
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over distinct tokens;
+    bit b of a token = parity of the first hex char of md5(b ':' tok)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+    )
+    votes = (
+        toks.select("id", "tok", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .select(
+            "id",
+            "b",
+            (
+                F.ascii(
+                    F.substring(
+                        F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("tok"))),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+            ).alias("bit"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (BASELINE.json extensions).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``cosine_pairs`` / ``cosine_topk``: exact brute force. The dot
+  product is a sequential ``aggregate`` fold over ``zip_with`` — pure
+  Catalyst expressions, no UDF, deterministic summation order.
+  Quadratic: correct baseline, verification stage, and small-N path.
+- ``lsh_sign_buckets`` / ``ann_lsh_pairs``: the scale path. Random-
+  hyperplane LSH with md5-derived integer hyperplanes (engine-
+  reproducible); docs sharing a bucket are candidates, verified
+  exactly. Turns the quadratic scan into an equi-join on the bucket
+  key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: str) -> Column:
+    return F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def with_cosine(pairs: DataFrame, a: str = "ea", b: str = "eb") -> DataFrame:
+    """Add ``cos_sim`` (rounded to 4 dp for engine-portable compares)."""
+    cos = _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+    return pairs.withColumn("cos_sim", F.round(cos, 4))
+
+
+def _pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    a = emb.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("ea")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb")
+    )
+    return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+
+
+def cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
+    return with_cosine(_pairs(emb, id_col, vec_col)).filter(
+        F.col("cos_sim") >= threshold
+    ).select("id_a", "id_b", "cos_sim")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force).
+
+    The query side is filtered then broadcast; candidates stream
+    partition-parallel. Rank is over the rounded cosine with id_b as
+    tiebreaker (total order => engine-portable)."""
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("ea")
+    )
+    c = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("id_b"))
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id_b").alias("neighbor_id"), "rnk", "cos_sim")
+    )
+
+
+def lsh_sign_buckets(
+    emb: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(id, bucket) — sign bits of dot products with ``n_planes``
+    deterministic pseudo-random integer hyperplanes.
+
+    Hyperplane component (p, j) = (ascii(md5(p ':' j)[0]) % 7) - 3,
+    reproducible in any engine with md5 + ascii."""
+    plane = [
+        F.array(
+            *[
+                (
+                    F.ascii(F.substring(F.md5(F.lit(f"{p}:{j}")), 1, 1)) % 7 - 3
+                ).cast("double")
+                for j in range(dim)
+            ]
+        ).alias(f"h{p}")
+        for p in range(n_planes)
+    ]
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v"), *plane
+    )
+    bucket = None
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), F.col(f"h{p}"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("id", bucket.alias("bucket"))
+
+
+def ann_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-path near-dup: LSH-bucket candidates verified exactly.
+
+    Equi-join on bucket instead of a full cross join; recall trades
+    off with n_planes (8 planes => 256 buckets)."""
+    buckets = lsh_sign_buckets(emb, id_col, vec_col, n_planes, dim)
+    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    be = buckets.join(e, "id")
+    a = be.select(F.col("id").alias("id_a"), F.col("v").alias("ea"), "bucket")
+    b = be.select(F.col("id").alias("id_b"), F.col("v").alias("eb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(cand)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "bucket", "cos_sim")
+    )

@@ -1,1 +1,394 @@
-"""LLM-data-pipeline extension corpus — populated next (dedup/similarity/text)."""
+"""LLM-training-data pipeline corpus (BASELINE.json extensions):
+deduplication, similarity search, text analysis, multimodal plumbing,
+and the streaming twin — each with a DuckDB oracle where SQL can
+express it.
+
+Dialect parity notes: Spark arrays are 0-indexed, DuckDB lists
+1-indexed (oracles use ``[j + 1]``); shingle/token position series in
+the oracles go through a static generate_series + filter (DuckDB's
+table-function form rejects correlated bounds); all hash functions are
+md5-derived strings so both engines agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash,
+)
+from ..operators.multimodal import attach_binary_payload, decode_features
+from ..operators.similarity import ann_lsh_pairs, cosine_pairs, cosine_topk
+from ..operators.textstats import (
+    LANG_STOPWORDS,
+    fingerprint,
+    language_scores,
+    quality_features,
+    token_counts,
+)
+from ..sources.registry import load_table
+from .registry import register
+
+# Shared oracle fragments -------------------------------------------------
+
+_TOKS = "SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents"
+
+# distinct 3-gram shingles per doc (1-based list indexing)
+_SHINGLES = f"""
+toks AS ({_TOKS}),
+sh AS (
+  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) g
+  WHERE i <= len(t) - 2
+)"""
+
+_JACCARD_THRESHOLD = 0.5
+_COS_THRESHOLD = 0.4
+
+_COMMON_JACCARD = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on normalized content",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _COMMON_JACCARD
+    + f"""
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    doc="exact n-gram-Jaccard near-dup pairs (baseline for LSH)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT sh.id, g.i,
+             MIN(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
+      GROUP BY sh.id, g.i
+    ),
+    bands AS (
+      SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+             MAX(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
+             MAX(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
+             MAX(CASE WHEN i % 3 = 2 THEN mh END) AS sig
+      FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    GROUP BY 1, 2
+    """,
+    doc="MinHash+LSH candidate pairs: shingle->minhash->band->bucket-join",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=12, rows_per_band=3)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS ({_TOKS}),
+    dt AS (
+      SELECT DISTINCT doc_id AS id, tok.t AS tok
+      FROM toks, unnest(toks.t) AS tok(t)
+    ),
+    votes AS (
+      SELECT id, g.b,
+             SUM(2 * (ascii(substr(md5(CAST(g.b AS VARCHAR) || ':' || tok), 1, 1)) % 2) - 1)
+               AS vote
+      FROM dt, (SELECT unnest(generate_series(0, 15)) AS b) g
+      GROUP BY id, g.b
+    )
+    SELECT id, SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+               AS simhash
+    FROM votes GROUP BY id
+    """,
+    doc="16-bit SimHash fingerprint (near-dups collide on the fingerprint)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=16)
+
+
+_COS_ORACLE_CORE = """
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+el AS (
+  SELECT id_a, id_b,
+         SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+  FROM pr, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY id_a, id_b
+)"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_COS_ORACLE_CORE}
+    SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM el
+    WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs, exact brute force",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=_COS_THRESHOLD)
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    pr AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS id_b,
+             q.embedding AS ea, c.embedding AS eb
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    el AS (
+      SELECT query_id, id_b,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+      FROM pr, (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY query_id, id_b
+    ),
+    ranked AS (
+      SELECT query_id, id_b AS neighbor_id,
+             ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 4) DESC, id_b ASC) AS rnk
+      FROM el
+    )
+    SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= 5
+    """,
+    doc="brute-force cosine top-k neighbors (ANN baseline)",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "vec_id", "embedding", F.col("vec_id") < 20, k=5)
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+    WITH planes AS (
+      SELECT p.p, j.j,
+             CAST((ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
+      FROM (SELECT unnest(generate_series(0, 7)) AS p) p,
+           (SELECT unnest(generate_series(0, 63)) AS j) j
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.h) AS dot
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+             ea.embedding AS ea, eb.embedding AS eb
+      FROM buckets a
+      JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    el AS (
+      SELECT id_a, id_b, bucket,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+      FROM cand, (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY id_a, id_b, bucket
+    )
+    SELECT id_a, id_b, bucket, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM el
+    WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
+    """,
+    doc="sign-LSH bucketed ANN (scale path): bucket equi-join + exact verify",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_pairs(emb, "vec_id", "embedding", threshold=_COS_THRESHOLD)
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH toks AS ({_TOKS}),
+    sc AS (
+      SELECT doc_id AS id,
+             len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['en'])})) AS score_en,
+             len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['fr'])})) AS score_fr,
+             len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['es'])})) AS score_es,
+             len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['de'])})) AS score_de
+      FROM toks
+    )
+    SELECT id, score_en, score_fr, score_es, score_de,
+           CASE WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM sc
+    """,
+    doc="stopword-hit language-ID heuristic",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_scores(docs, "text", "doc_id")
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+    )
+    SELECT doc_id AS id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           length(text) AS n_chars,
+           CAST(length(array_to_string(t, '')) AS DOUBLE)
+             / GREATEST(CAST(len(t) AS DOUBLE), 1.0) AS avg_token_len,
+           0.4 * (CAST(len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['en'])})) AS DOUBLE)
+                  / GREATEST(CAST(len(t) AS DOUBLE), 1.0))
+           + 0.3 * LEAST(CAST(len(t) AS DOUBLE) / 100, 1.0)
+           + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE)
+                    / GREATEST(CAST(len(t) AS DOUBLE), 1.0)) AS quality_score
+    FROM toks
+    """,
+    doc="quality scoring: length/diversity/stopword ratios",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs, "text", "doc_id")
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id AS id,
+           len(regexp_extract_all(text, '\S+')) AS ws_token_count,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS bpe_ish_token_count
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs, "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+    )
+    SELECT doc_id AS id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM toks
+    """,
+    doc="order-insensitive document fingerprint (sorted token-set md5)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id")
+
+
+@register(
+    "mm_binary_stats",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(length(text) % 640 AS INTEGER) AS width,
+           CAST(length(text) % 480 AS INTEGER) AS height,
+           3 AS channels
+    FROM documents
+    """,
+    doc="multimodal plumbing: opaque binary payload + typed metadata",
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs, "text", "doc_id").select(
+        "id", "n_bytes", "width", "height", "channels"
+    )
+
+
+@register(
+    "mm_decode_features",
+    None,  # mapInPandas decode stage — not SQL-expressible, rows-only check
+    doc="mapInPandas feature extraction over binary payloads (fake decoder)",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(docs, "text", "doc_id"))
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window agg (AvailableNow, complete mode)",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(spark, events_raw)

@@ -1,1 +1,457 @@
-"""News-model parity corpus — populated next (stg/transformed/marts)."""
+"""News-model parity corpus: the reference's dbt DAG (staging ->
+transformed -> marts -> dashboard) run end-to-end by the engine's
+``plans.models`` functions, differentially checked against a DuckDB
+oracle that replicates the same (deterministic-rewrite) semantics.
+
+Since the driver's warehouse has no news tables, both engines first
+derive an identical synthetic ``raw_news`` from ``documents`` — pure
+integer/string expressions keyed on doc_id, built to exercise every
+hard path of transformed.sql: NULL/facebook authors, whitespace-padded
+and single-token names, uppercase emails with embedded newlines,
+missing emails/urls (backfills J5/J6), NULL content with in-group twins
+(backfill J4), re-scrape groups of 3 sharing an article with later
+publish timestamps (J7 min-fix) and distinct ingest batches (J2 latest
+dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    checks_summary,
+    not_null_violations,
+    relationship_violations,
+    unique_violations,
+)
+from ..plans.models import (
+    articles_mart,
+    authors_mart,
+    bridge_mart,
+    sources_mart,
+    stg_articles,
+    transformed,
+)
+from ..sources.registry import load_table
+from .registry import register
+
+# Sources excluded by the transformed model in this synthetic corpus
+# (the reference's toronto_star/cbc analogs, transformed.sql:231-232).
+EXCLUDED = ("src1", "src3")
+
+RUN_TS = "2025-01-01 00:00:00+00:00"
+
+_EPOCH_PUB = 1704067200  # 2024-01-01 UTC
+_EPOCH_ING = 1709251200  # 2024-03-01 UTC
+
+
+def _raw_news_sql(ts: str) -> str:
+    """The synthetic raw_news CTE chain; ``ts`` renders an epoch-seconds
+    expression as a naive-UTC timestamp in the target dialect."""
+    return f"""
+rn0 AS (
+  SELECT d.doc_id AS doc_id,
+         d.doc_id - d.doc_id % 3 AS base,
+         b.source AS bsrc,
+         b.text AS btext
+  FROM documents d
+  JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+),
+rn1 AS (
+  SELECT doc_id, base, bsrc, btext,
+         substr('abcdefghijklmnopq', CAST(base % 17 AS INTEGER) + 1, 1) AS lt,
+         CAST(FLOOR(base / 3) AS BIGINT) AS g
+  FROM rn0
+),
+raw_news AS (
+  SELECT
+    doc_id AS id,
+    bsrc AS source_name,
+    'ca' AS source_country,
+    CASE WHEN doc_id % 50 = 0 THEN 'poltics' ELSE 'politics' END AS category,
+    CASE WHEN doc_id % 13 = 0 THEN 'www.facebook.com'
+         WHEN doc_id % 11 = 0 THEN NULL
+         WHEN doc_id % 23 = 0 THEN '  First' || lt || ' Last' || lt || ' '
+         WHEN base % 17 = 16 THEN 'Mono' || lt
+         ELSE 'First' || lt || ' Last' || lt
+    END AS author,
+    CASE WHEN (base + doc_id) % 3 <> 2
+         THEN 'First' || lt || '@News.CA' ||
+              (CASE WHEN doc_id % 31 = 0 THEN chr(10) ELSE '' END)
+         ELSE NULL END AS author_email,
+    CASE WHEN (base + doc_id) % 4 <> 3
+         THEN 'https://news.ca/authors/' || lt
+         ELSE NULL END AS author_url,
+    'Title ' || CAST(base % 40 AS VARCHAR) AS title,
+    substr(btext, 1, 80) AS description,
+    'https://' || bsrc || '/articles/' || CAST(base AS VARCHAR) AS url,
+    {ts(f"{_EPOCH_PUB} + (base % 60) * 86400 + (doc_id % 7) * 3600")} AS publishedat,
+    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE 'Body. ' || btext END AS article_content,
+    CASE WHEN g % 3 = 0 THEN 'left' WHEN g % 3 = 1 THEN 'right' ELSE 'centre' END AS bias,
+    'english' AS language,
+    {ts(f"{_EPOCH_ING} + (doc_id % 3) * 10800 + (doc_id % 5) * 60")} AS ingest_ts
+  FROM rn1
+)"""
+
+
+_SPARK_RAW_SQL = (
+    "WITH "
+    + _raw_news_sql(lambda e: f"timestamp_seconds({e})").replace(
+        "AS VARCHAR)", "AS STRING)"
+    )
+    + " SELECT * FROM raw_news"
+)
+
+_PUNCT = r"[!-/:-@\[-`{-~]"
+_NULLPH = "_dbt_utils_surrogate_key_null_"
+
+
+def _sk(*cols: str) -> str:
+    parts = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '{_NULLPH}')" for c in cols)
+    return f"md5(concat_ws('-', {parts}))"
+
+
+# DuckDB oracle replica of plans/models.py::transformed (the
+# deterministic window-rewrite semantics, SURVEY.md §4.2).
+_ORACLE_PREFIX = (
+    "WITH "
+    + _raw_news_sql(lambda e: f"CAST(to_timestamp({e}) AS TIMESTAMP)")
+    + f""",
+stg AS (
+  SELECT id, source_name AS news_source_name, source_country AS news_source_country,
+         category AS news_category, author, author_email, author_url, title,
+         description, url, publishedat, article_content, bias,
+         ingest_ts AS creation_time
+  FROM raw_news
+),
+bf AS (
+  SELECT *,
+    COALESCE(article_content,
+      CASE WHEN author IS NOT NULL AND author_email IS NOT NULL AND url IS NOT NULL
+           THEN MAX(article_content) OVER (
+                  PARTITION BY author, author_email, title, news_source_name, url)
+      END) AS content_f
+  FROM stg
+),
+cleaned AS (
+  SELECT id, news_source_name, news_source_country, news_category, author,
+         author_email, author_url, title, description, url, publishedat, bias,
+         creation_time,
+         content_f AS article_content,
+         lower(substr(regexp_replace(content_f, '{_PUNCT}', '', 'g'), 1, 50))
+           AS article_content_clean,
+         trim(author) AS author_t,
+         regexp_replace(lower(author_email), chr(10), '', 'g') AS author_email_c,
+         md5(content_f) AS content_h
+  FROM bf
+  WHERE author <> 'www.facebook.com'
+),
+filled AS (
+  SELECT *,
+    CASE WHEN author_url IS NULL AND author_email_c IS NOT NULL
+         THEN MAX(author_url) OVER (PARTITION BY author_t, author_email_c)
+         WHEN author_url IS NULL
+         THEN MAX(author_url) OVER (PARTITION BY author_t, news_source_name)
+         ELSE author_url END AS author_url_f,
+    CASE WHEN author_email_c IS NULL AND author_url IS NOT NULL
+         THEN MAX(author_email_c) OVER (PARTITION BY author_t, author_url)
+         WHEN author_email_c IS NULL
+         THEN MAX(author_email_c) OVER (PARTITION BY author_t, news_source_name)
+         ELSE author_email_c END AS author_email_f,
+    MIN(publishedat) OVER (PARTITION BY title, author, news_source_name) AS b1,
+    CASE WHEN url IS NOT NULL THEN
+      MIN(publishedat) OVER (PARTITION BY url, author, news_source_name) END AS b2,
+    CASE WHEN article_content IS NOT NULL THEN
+      MIN(publishedat) OVER (PARTITION BY content_h, author, news_source_name) END AS b3
+  FROM cleaned
+),
+no_ts AS (
+  SELECT *,
+    LEAST(b1, COALESCE(b2, b1), COALESCE(b3, b1)) AS publishedat_fixed,
+    split_part(author_t, ' ', 1) AS first_name,
+    split_part(author_t, ' ', 2) AS last_name
+  FROM filled
+  WHERE news_source_name NOT IN {EXCLUDED!r}
+),
+hashed AS (
+  SELECT id, news_source_name, news_source_country, news_category,
+         first_name, last_name,
+         author_email_f AS author_email, author_url_f AS author_url,
+         title, description, url,
+         publishedat_fixed AS publishedat, article_content, bias, creation_time,
+         article_content_clean,
+         {_sk("first_name", "last_name", "author_url_f", "author_email_f")} AS author_id,
+         {_sk("news_source_name", "article_content_clean")} AS article_id,
+         {_sk("first_name", "last_name", "author_url_f", "author_email_f",
+              "news_source_name", "title", "article_content_clean")} AS article_author_id,
+         {_sk("news_source_name", "news_source_country")} AS source_id,
+         '{RUN_TS}' AS load_ts_utc
+  FROM no_ts
+),
+articles AS (
+  SELECT article_id, title, description, news_category, article_content, url,
+         publishedat, source_id
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY article_id
+                                 ORDER BY creation_time DESC, id DESC) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+authors AS (
+  SELECT DISTINCT author_id, first_name, last_name, author_email, author_url
+  FROM hashed
+),
+srcs AS (
+  SELECT DISTINCT source_id, news_source_name, news_source_country, bias
+  FROM hashed
+),
+bridge AS (
+  SELECT DISTINCT article_author_id, author_id, article_id FROM hashed
+),
+sent AS (
+  SELECT article_id,
+         ascii(substr(article_id, 2, 1)) % 100 AS mark_pct,
+         ascii(substr(article_id, 3, 1)) % 100 AS poil_pct
+  FROM (SELECT DISTINCT article_id FROM hashed)
+  WHERE ascii(substr(article_id, 1, 1)) % 2 = 0
+)
+"""
+)
+
+
+def _raw_news(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SPARK_RAW_SQL)
+
+
+def _transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transformed(
+        stg_articles(_raw_news(spark, sf_dir)), run_ts=RUN_TS, excluded_sources=EXCLUDED
+    )
+
+
+def _sentiment(tr: DataFrame) -> DataFrame:
+    """Synthetic enrichment results keyed off real article_ids (so the
+    star-schema joins are live); ``*_pct`` kept integral so downstream
+    averages stay engine-exact."""
+    return (
+        tr.select("article_id")
+        .distinct()
+        .filter(F.ascii(F.substring("article_id", 1, 1)) % 2 == 0)
+        .select(
+            "article_id",
+            (F.ascii(F.substring("article_id", 2, 1)) % 100).alias("mark_pct"),
+            (F.ascii(F.substring("article_id", 3, 1)) % 100).alias("poil_pct"),
+        )
+    )
+
+
+@register(
+    "news_transformed",
+    _ORACLE_PREFIX + "SELECT * FROM hashed",
+    doc="transformed.sql:1-247 end-to-end (P1,P7,F1-F6,F9,J4-J7) via plans.models",
+)
+def news_transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _transformed(spark, sf_dir)
+
+
+@register(
+    "news_articles_mart",
+    _ORACLE_PREFIX + "SELECT * FROM articles",
+    doc="datamarts/articles.sql latest-row dedup (J2/A1/A3)",
+)
+def news_articles_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return articles_mart(_transformed(spark, sf_dir))
+
+
+@register(
+    "news_authors_mart",
+    _ORACLE_PREFIX + "SELECT * FROM authors",
+    doc="datamarts/authors.sql DISTINCT dimension (A2)",
+)
+def news_authors_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return authors_mart(_transformed(spark, sf_dir))
+
+
+@register(
+    "news_sources_mart",
+    _ORACLE_PREFIX + "SELECT * FROM srcs",
+    doc="datamarts/sources.sql DISTINCT dimension (A2)",
+)
+def news_sources_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sources_mart(_transformed(spark, sf_dir))
+
+
+@register(
+    "news_bridge_mart",
+    _ORACLE_PREFIX + "SELECT * FROM bridge",
+    doc="datamarts/article_author_join_table.sql (A2)",
+)
+def news_bridge_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bridge_mart(_transformed(spark, sf_dir))
+
+
+@register(
+    "news_dashboard_enriched",
+    _ORACLE_PREFIX
+    + """
+    SELECT s.article_id,
+           CAST(s.mark_pct AS DOUBLE) / 100 AS sentiment_mark,
+           CAST(s.poil_pct AS DOUBLE) / 100 AS sentiment_poilievre,
+           a.title, a.publishedat, sr.news_source_name, sr.bias
+    FROM sent s
+    JOIN articles a ON a.article_id = s.article_id
+    LEFT JOIN (
+      SELECT source_id, news_source_name, bias FROM (
+        SELECT source_id, news_source_name, bias,
+               ROW_NUMBER() OVER (PARTITION BY source_id ORDER BY bias ASC) AS rn
+        FROM srcs
+      ) WHERE rn = 1
+    ) sr ON sr.source_id = a.source_id
+    WHERE a.publishedat BETWEEN CAST(to_timestamp(1704067200) AS TIMESTAMP)
+                            AND CAST(to_timestamp(1708000000) AS TIMESTAMP)
+    """,
+    doc="dashboard Q1 (sentiment_dashboard.py:36-49): 3-table join + dedup + BETWEEN",
+)
+def news_dashboard_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transformed(spark, sf_dir)
+    art = articles_mart(tr)
+    sent = _sentiment(tr)
+    # the source dim can carry >1 bias per source_id (reference design
+    # flaw, faithfully mirrored) -> deterministic pick per source_id
+    from ..operators.dedup_window import distinct_on
+
+    src = distinct_on(
+        sources_mart(tr).select("source_id", "news_source_name", "bias"),
+        keys=["source_id"],
+        order_by=[F.col("bias").asc()],
+    )
+    lo = F.timestamp_seconds(F.lit(1704067200))
+    hi = F.timestamp_seconds(F.lit(1708000000))
+    return (
+        sent.join(art, "article_id")
+        .join(F.broadcast(src), "source_id", "left")
+        .filter(F.col("publishedat").between(lo, hi))
+        .select(
+            "article_id",
+            (F.col("mark_pct").cast("double") / 100).alias("sentiment_mark"),
+            (F.col("poil_pct").cast("double") / 100).alias("sentiment_poilievre"),
+            "title",
+            "publishedat",
+            "news_source_name",
+            "bias",
+        )
+    )
+
+
+@register(
+    "news_dashboard_avg_by_bias",
+    _ORACLE_PREFIX
+    + """
+    SELECT sr.bias,
+           CAST(SUM(s.mark_pct) AS DOUBLE) / 100 / COUNT(*) AS avg_mark,
+           CAST(SUM(s.poil_pct) AS DOUBLE) / 100 / COUNT(*) AS avg_poilievre,
+           COUNT(*) AS n
+    FROM sent s
+    JOIN articles a ON a.article_id = s.article_id
+    JOIN (
+      SELECT source_id, bias FROM (
+        SELECT source_id, bias,
+               ROW_NUMBER() OVER (PARTITION BY source_id ORDER BY bias ASC) AS rn
+        FROM srcs
+      ) WHERE rn = 1
+    ) sr ON sr.source_id = a.source_id
+    GROUP BY sr.bias
+    """,
+    doc="dashboard Q4 (sentiment_dashboard.py:194-199): group-by-bias averages (A4)",
+)
+def news_dashboard_avg_by_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_window import distinct_on
+
+    tr = _transformed(spark, sf_dir)
+    art = articles_mart(tr)
+    sent = _sentiment(tr)
+    src = distinct_on(
+        sources_mart(tr).select("source_id", "bias"),
+        keys=["source_id"],
+        order_by=[F.col("bias").asc()],
+    ).select("source_id", "bias")
+    n = F.count(F.lit(1))
+    return (
+        sent.join(art, "article_id")
+        .join(F.broadcast(src), "source_id")
+        .groupBy("bias")
+        .agg(
+            (F.sum("mark_pct").cast("double") / 100 / n).alias("avg_mark"),
+            (F.sum("poil_pct").cast("double") / 100 / n).alias("avg_poilievre"),
+            n.alias("n"),
+        )
+    )
+
+
+@register(
+    "news_quality_checks",
+    _ORACLE_PREFIX
+    + """
+    SELECT 'articles_article_id_unique' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM (SELECT article_id FROM articles GROUP BY article_id HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'articles_article_id_not_null', CAST(COUNT(*) AS BIGINT)
+    FROM articles WHERE article_id IS NULL
+    UNION ALL
+    SELECT 'bridge_article_fk', CAST(COUNT(*) AS BIGINT)
+    FROM bridge b WHERE b.article_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM articles a WHERE a.article_id = b.article_id)
+    UNION ALL
+    SELECT 'bridge_author_fk', CAST(COUNT(*) AS BIGINT)
+    FROM bridge b WHERE b.author_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM authors au WHERE au.author_id = b.author_id)
+    UNION ALL
+    SELECT 'sentiment_article_fk', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT article_id FROM sent
+          UNION ALL SELECT md5('orphan-1') UNION ALL SELECT md5('orphan-2')) s
+    WHERE s.article_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM articles a WHERE a.article_id = s.article_id)
+    UNION ALL
+    SELECT 'authors_natural_key_unique', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT first_name, last_name, author_url, author_email
+          FROM authors GROUP BY 1,2,3,4 HAVING COUNT(*) > 1)
+    """,
+    doc="dbt schema tests as engine checks (J8 + unique/not_null, datamarts.yaml)",
+)
+def news_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transformed(spark, sf_dir)
+    art = articles_mart(tr)
+    auth = authors_mart(tr)
+    bridge = bridge_mart(tr)
+    sent = _sentiment(tr).select("article_id")
+    orphans = tr.sparkSession.createDataFrame(
+        [("orphan-1",), ("orphan-2",)], "seed string"
+    ).select(F.md5("seed").alias("article_id"))
+    sent_with_orphans = sent.unionByName(orphans)
+    return checks_summary(
+        [
+            ("articles_article_id_unique", unique_violations(art, ["article_id"])),
+            ("articles_article_id_not_null", not_null_violations(art, "article_id")),
+            (
+                "bridge_article_fk",
+                relationship_violations(bridge, "article_id", art, "article_id"),
+            ),
+            (
+                "bridge_author_fk",
+                relationship_violations(bridge, "author_id", auth, "author_id"),
+            ),
+            (
+                "sentiment_article_fk",
+                relationship_violations(sent_with_orphans, "article_id", art, "article_id"),
+            ),
+            (
+                "authors_natural_key_unique",
+                unique_violations(
+                    auth, ["first_name", "last_name", "author_url", "author_email"]
+                ),
+            ),
+        ]
+    )
