@@ -18,6 +18,7 @@ from canadiannewsdatapipeline_spark.queries import QUERIES  # noqa: E402
 from canadiannewsdatapipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q2_enriched_join_dedup",
     "q7_daily_timeseries",
@@ -26,6 +27,16 @@ HEADLINE = [
     "tpch_q5_regional_volume",
     "j7_disjunctive_min",
     "p12_top_n_per_group",
+    # news model DAG end-to-end
+    "news_transformed",
+    "news_articles_mart",
+    # training-data extensions
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
+    "stream_windowed_counts",
 ]
 
 

@@ -37,6 +37,14 @@ def get_spark(app_name: str = "newsflow", master: str | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Local-bench default: the test warehouse's parquet files are
+        # ~10 MB, so the cluster default (128m) yields single-partition
+        # scans that idle 31 of 32 cores. Real deployments reading
+        # 128 MB+ row groups should export SPARK_GRAFT_MAX_PARTITION_BYTES=128m.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
