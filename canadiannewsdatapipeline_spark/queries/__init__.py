@@ -11,5 +11,6 @@ from .registry import QUERIES, QuerySpec, oracle_sql_map, query_map
 from . import core  # noqa: E402,F401
 from . import news  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import dashboard  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query_map", "oracle_sql_map"]

@@ -1,0 +1,51 @@
+"""Physical-plan regression checks: the properties that make these
+queries survive a 100x scale-up (predicate pushdown into the parquet
+scan, column pruning, broadcast joins for dimensions, whole-stage
+codegen) must be visible in explain output."""
+
+from __future__ import annotations
+
+from canadiannewsdatapipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # map-side partial aggregation before the exchange (combine at scale)
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "partial_sum" in simple and "Exchange hashpartitioning" in simple
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = _formatted(spark, "tpch_q5_regional_volume")
+    # every dimension joins as broadcast; lineitem streams on the probe side
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_single_window_shuffle(spark):
+    plan = _formatted(spark, "q2_enriched_join_dedup")
+    # the dedup is one window over one shuffle, not a self-join
+    assert "Window" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_backfill_has_no_join(spark):
+    plan = _formatted(spark, "j4_backfill_within_group")
+    # correlated-subquery rewrite: window aggregate, zero joins
+    assert "Join" not in plan and "Window" in plan
