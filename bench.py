@@ -37,6 +37,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_quality",
     "stream_windowed_counts",
+    "events_sessionize_stats",
 ]
 
 

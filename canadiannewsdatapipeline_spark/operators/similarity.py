@@ -145,3 +145,58 @@ def ann_lsh_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )
+
+
+def ivf_cells(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_filter: Column,
+) -> DataFrame:
+    """(id, cell) — IVF-style coarse quantization: assign every vector
+    to its nearest centroid (max cosine, ties to lowest centroid id).
+
+    Centroids here are a deterministic subset (``centroid_filter``)
+    rather than k-means output, so any engine reproduces the
+    assignment; swap in trained centroids in production. Distances are
+    rounded to 6 dp before the argmax so the ranking is engine-stable."""
+    c = emb.filter(centroid_filter).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
+    )
+    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.sqrt(_norm2("v")) * F.sqrt(_norm2("cv"))), 6)
+    scored = e.crossJoin(F.broadcast(c)).withColumn("cos_c", cos)
+    w = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    centroid_filter: Column,
+) -> DataFrame:
+    """IVF scale path: near-dup candidates share a coarse cell, then
+    exact cosine verification — an equi-join on the cell id replaces
+    the quadratic scan (recall bounded by cell granularity)."""
+    cells = ivf_cells(emb, id_col, vec_col, centroid_filter)
+    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    ce = cells.join(e, "id")
+    a = ce.select(F.col("id").alias("id_a"), F.col("v").alias("ea"), "cell")
+    b = ce.select(F.col("id").alias("id_b"), F.col("v").alias("eb"), "cell")
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(cand)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cell", "cos_sim")
+    )

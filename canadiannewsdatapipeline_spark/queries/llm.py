@@ -392,3 +392,87 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_event_counts(spark, events_raw)
+
+
+@register(
+    "events_sessionize_stats",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="sessionization: lag gap-detect + running-sum session ids + per-session aggs",
+)
+def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+@register(
+    "sim_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)) /
+               (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+                sqrt(SUM(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))), 6) AS cos_c
+      FROM embeddings e, cent c, (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY e.vec_id, c.cid
+    ),
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, cid ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cell,
+             ea.embedding AS ea, eb.embedding AS eb
+      FROM cells a
+      JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    el AS (
+      SELECT id_a, id_b, cell,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+      FROM cand, (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY id_a, id_b, cell
+    )
+    SELECT id_a, id_b, cell, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM el
+    WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
+    """,
+    doc="IVF-bucketed ANN (scale path): coarse-quantize to nearest centroid, verify in-cell",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_ivf_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_pairs(
+        emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
+        centroid_filter=F.col("vec_id") < 8,
+    )
