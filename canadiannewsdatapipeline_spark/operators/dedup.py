@@ -104,17 +104,22 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
     """(id, hash_index, minhash) — minhash_i = MIN over shingles of
-    md5(i || ':' || shingle). md5-keyed so any engine reproduces it."""
+    md5(i || ':' || shingle). md5-keyed so any engine reproduces it.
+
+    Computed as ``num_hashes`` MIN aggregates over a single shingle
+    explode (wide form, then unpivoted): one shuffle, no x12 row
+    multiplication — at 100 TB the explode factor is the difference
+    between a pass and a blow-up."""
     sh = shingle_set(df, text_col, id_col, n)
-    return (
-        sh.select("id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"))
-        .select(
-            "id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("id", "i")
-        .agg(F.min("h").alias("mh"))
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    stack_expr = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return wide.select(
+        "id", F.expr(f"stack({num_hashes}, {stack_expr}) AS (i, mh)")
     )
 
 
@@ -128,19 +133,26 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: candidate pairs sharing >= 1 band signature, with
     the number of shared bands. Join key is (band, band_signature) —
-    an equi-join, so AQE/skew handling applies; no quadratic scan."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    band_sig = F.concat_ws(
-        "|",
+    an equi-join, so AQE/skew handling applies; no quadratic scan.
+
+    Band signatures come straight off the wide per-id signature row
+    (single aggregation), unpivoted with ``stack`` — no second shuffle."""
+    sh = shingle_set(df, text_col, id_col, n)
+    wide = sh.groupBy("id").agg(
         *[
-            F.max(F.when(F.col("i") % rows_per_band == r, F.col("mh")))
-            for r in range(rows_per_band)
-        ],
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
-    bands = (
-        sig.withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(band_sig.alias("sig"))
+    n_bands = num_hashes // rows_per_band
+    band_exprs = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(n_bands)
+    )
+    bands = wide.select(
+        "id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band, sig)")
     )
     a = bands.select(F.col("id").alias("id_a"), "band", "sig")
     b = bands.select(F.col("id").alias("id_b"), "band", "sig")

@@ -225,10 +225,21 @@ def _raw_news(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SPARK_RAW_SQL)
 
 
+# The 8 news queries all start from the same transformed frame; the
+# driver runs them back-to-back in one session, so persist it once per
+# (session, sf_dir) — the 8-window plan executes once instead of 8x.
+_TR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return transformed(
-        stg_articles(_raw_news(spark, sf_dir)), run_ts=RUN_TS, excluded_sources=EXCLUDED
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TR_CACHE:
+        _TR_CACHE[key] = transformed(
+            stg_articles(_raw_news(spark, sf_dir)),
+            run_ts=RUN_TS,
+            excluded_sources=EXCLUDED,
+        ).persist()
+    return _TR_CACHE[key]
 
 
 def _sentiment(tr: DataFrame) -> DataFrame:

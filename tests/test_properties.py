@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the invariants that matter
+at any scale. Example counts are small — each example round-trips
+through the JVM."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from canadiannewsdatapipeline_spark.functions.keys import NULL_PLACEHOLDER
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(TEXT, st.none()), min_size=1, max_size=4))
+def test_surrogate_key_matches_reference_recipe(spark, cols):
+    """surrogate_key == md5(concat_ws('-', coalesce(col, placeholder)))
+    for arbitrary string/null inputs (dbt_utils 1.3.0 recipe)."""
+    from pyspark.sql import functions as F
+
+    from canadiannewsdatapipeline_spark.functions.keys import surrogate_key
+
+    df = spark.createDataFrame(
+        [tuple(cols)], ", ".join(f"c{i} string" for i in range(len(cols)))
+    )
+    got = df.select(
+        surrogate_key(*[F.col(f"c{i}") for i in range(len(cols))]).alias("k")
+    ).first().k
+    expected = hashlib.md5(
+        "-".join(c if c is not None else NULL_PLACEHOLDER for c in cols).encode()
+    ).hexdigest()
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),  # (user, offset_min)
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_sessionize_invariants(spark, events):
+    """For any event stream: session ids are contiguous from 1 per
+    user, non-decreasing in time order, and adjacent events in the
+    same session are <= gap apart."""
+    from canadiannewsdatapipeline_spark.operators.sessionize import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, user, t0 + timedelta(minutes=off), 1.0)
+        for i, (user, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = sessionize(df, gap_minutes=30).collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        assert rs[0].session_id == 1
+        for a, b in zip(rs, rs[1:]):
+            gap = (b.ts - a.ts).total_seconds()
+            if b.session_id == a.session_id:
+                assert gap <= 1800
+            else:
+                assert b.session_id == a.session_id + 1 and gap > 1800
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_exact_dedup_partitions_rows(spark, texts):
+    """Dedup groups partition the input: group sizes sum to the row
+    count, and canonical ids are members of their group."""
+    from canadiannewsdatapipeline_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    groups = exact_dup_groups(df, "t", "id").collect()
+    assert sum(g.n_dups for g in groups) == len(texts)
+    assert all(0 <= g.canonical_id < len(texts) for g in groups)
