@@ -724,3 +724,72 @@ def tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(n.n_name.alias("nation_name"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference's surface: grouped-analytics completeness the
+# engine offers (rollup/grouping-sets, pivot, exact percentiles) — all
+# shuffle-once shapes with map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "a_rollup_counts",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, status) — subtotals + grand total in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("o_totalprice", 18, 2).alias("revenue"),
+    )
+
+
+@register(
+    "a_pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on an explicit value list (no value-discovery scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "a_exact_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`); at 100 TB swap for approx_percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
