@@ -360,38 +360,28 @@ def news_dashboard_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     "news_dashboard_avg_by_bias",
     _ORACLE_PREFIX
     + """
-    SELECT sr.bias,
+    , art_bias AS (
+      SELECT article_id, MIN(bias) AS bias FROM hashed GROUP BY article_id
+    )
+    SELECT ab.bias,
            CAST(SUM(s.mark_pct) AS DOUBLE) / 100 / COUNT(*) AS avg_mark,
            CAST(SUM(s.poil_pct) AS DOUBLE) / 100 / COUNT(*) AS avg_poilievre,
            COUNT(*) AS n
     FROM sent s
-    JOIN articles a ON a.article_id = s.article_id
-    JOIN (
-      SELECT source_id, bias FROM (
-        SELECT source_id, bias,
-               ROW_NUMBER() OVER (PARTITION BY source_id ORDER BY bias ASC) AS rn
-        FROM srcs
-      ) WHERE rn = 1
-    ) sr ON sr.source_id = a.source_id
-    GROUP BY sr.bias
+    JOIN art_bias ab ON ab.article_id = s.article_id
+    GROUP BY ab.bias
     """,
     doc="dashboard Q4 (sentiment_dashboard.py:194-199): group-by-bias averages (A4)",
 )
 def news_dashboard_avg_by_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup_window import distinct_on
-
     tr = _transformed(spark, sf_dir)
-    art = articles_mart(tr)
     sent = _sentiment(tr)
-    src = distinct_on(
-        sources_mart(tr).select("source_id", "bias"),
-        keys=["source_id"],
-        order_by=[F.col("bias").asc()],
-    ).select("source_id", "bias")
+    # article-level bias like the reference dashboard (bias rides the
+    # article rows); MIN() pins rescrape disagreements deterministically
+    art_bias = tr.groupBy("article_id").agg(F.min("bias").alias("bias"))
     n = F.count(F.lit(1))
     return (
-        sent.join(art, "article_id")
-        .join(F.broadcast(src), "source_id")
+        sent.join(art_bias, "article_id")
         .groupBy("bias")
         .agg(
             (F.sum("mark_pct").cast("double") / 100 / n).alias("avg_mark"),
