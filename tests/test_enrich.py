@@ -73,3 +73,32 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert parsed[0].custom_id == "7"
     assert parsed[0].sentiment_mark == 0.75
     assert parsed[0].sentiment_poilievre is None  # 'N/A' scrub
+
+
+def test_two_phase_enrich_checkpoint_shape(spark, tmp_path):
+    """Phase 1 writes requests; phase 2 joins responses back on id —
+    the reference's submit/poll/load-later DAG shape (SURVEY §3.2)."""
+    import json as _json
+
+    from canadiannewsdatapipeline_spark.enrich.batch import two_phase_enrich
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, c string")
+    req = str(tmp_path / "req")
+    resp = tmp_path / "resp"
+    resp.mkdir()
+    # phase 2 input arrives "later" from the external batch job
+    (resp / "part-0.jsonl").write_text(
+        _json.dumps(
+            {
+                "custom_id": "1",
+                "response": {"body": {"choices": [{"message": {"content": _json.dumps(
+                    {"sentiment_mark": 0.25, "sentiment_poilievre": 0.5}
+                )}}]}},
+            }
+        )
+    )
+    out = two_phase_enrich(df, "id", "c", req, str(resp))
+    got = {r.id: (r.sentiment_mark, r.sentiment_poilievre) for r in out.collect()}
+    assert got == {1: (0.25, 0.5), 2: (None, None)}  # unanswered row survives
+    # phase-1 artifact exists and is replayable
+    assert spark.read.text(req).count() == 2

@@ -124,3 +124,14 @@ def test_csv_staging_roundtrip(spark, tmp_path):
     write_staging_csv(df, path, ["v", "id"], add_ingest_ts=False)
     back = read_staging_csv(spark, path, "v string, id long")
     assert sorted((r.v, r.id) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_append_raw_accumulates_batches(spark, tmp_path):
+    from canadiannewsdatapipeline_spark.sources.io import append_raw
+
+    path = str(tmp_path / "raw")
+    b1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    b2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    append_raw(b1, path)
+    append_raw(b2, path)  # 3-hourly cron appends, never overwrites
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
