@@ -176,3 +176,27 @@ def s1_rss_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.xpath("xml", F.lit("/rss/channel/item/link/text()"))).alias("link"),
     )
+
+
+@register(
+    "f18_lookback_window",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(MIN(o_orderdate) AS DATE) AS first_day
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-08-01' - INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    doc="F18 (sentiment_batch_job_tasks.py:40-41): n-days-back lookback window",
+)
+def f18_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("2001-08-01").cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") >= F.date_sub(anchor, 60).cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+        )
+    )
