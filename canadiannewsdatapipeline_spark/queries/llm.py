@@ -444,29 +444,32 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY cos_c DESC, cid ASC) AS rn
         FROM d
-      ) WHERE rn = 1
+      ) WHERE rn <= 2
     ),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cell,
-             ea.embedding AS ea, eb.embedding AS eb
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM cells a
       JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    cand_e AS (
+      SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
     ),
     el AS (
-      SELECT id_a, id_b, cell,
+      SELECT id_a, id_b,
              SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
              SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
              SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-      FROM cand, (SELECT unnest(generate_series(1, 64)) AS i) g
-      GROUP BY id_a, id_b, cell
+      FROM cand_e, (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY id_a, id_b
     )
-    SELECT id_a, id_b, cell, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
     FROM el
     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
     """,
-    doc="IVF-bucketed ANN (scale path): coarse-quantize to nearest centroid, verify in-cell",
+    doc="IVF-bucketed ANN (scale path): multi-probe (top-2 cell) quantization, verify in-cell",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_pairs
@@ -474,5 +477,5 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_pairs(
         emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
-        centroid_filter=F.col("vec_id") < 8,
+        centroid_filter=F.col("vec_id") < 8, n_probe=2,
     )
