@@ -112,14 +112,17 @@ def lsh_sign_buckets(
     )
     bucket = None
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), F.col(f"h{p}"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col(f"h{p}"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,  # engine-stable sign test: fp summation order differs across engines
         )
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
         bucket = bit if bucket is None else bucket + bit
-    return e.select("id", bucket.alias("bucket"))
+    return e.select("id", bucket.cast("long").alias("bucket"))
 
 
 def ann_lsh_pairs(

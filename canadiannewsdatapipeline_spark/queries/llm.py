@@ -136,8 +136,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dt, (SELECT unnest(generate_series(0, 15)) AS b) g
       GROUP BY id, g.b
     )
-    SELECT id, SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
-               AS simhash
+    SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS simhash
     FROM votes GROUP BY id
     """,
     doc="16-bit SimHash fingerprint (near-dups collide on the fingerprint)",
@@ -222,13 +222,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
       SELECT e.vec_id, pl.p,
-             SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.h) AS dot
+             ROUND(SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.h), 6) AS dot
       FROM embeddings e, planes pl
       GROUP BY e.vec_id, pl.p
     ),
     buckets AS (
       SELECT vec_id,
-             SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS bucket
       FROM dots GROUP BY vec_id
     ),
     cand AS (
@@ -407,8 +408,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM s
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
