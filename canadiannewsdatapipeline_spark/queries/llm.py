@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dup_groups,
     jaccard_pairs,
+    lsh_verified_pairs,
     minhash_lsh_candidates,
     simhash,
 )
@@ -119,6 +120,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=12, rows_per_band=3)
+
+
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT sh.id, g.i,
+             MIN(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
+      GROUP BY sh.id, g.i
+    ),
+    bands AS (
+      SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+             MAX(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
+             MAX(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
+             MAX(CASE WHEN i % 3 = 2 THEN mh END) AS sig
+      FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    doc="production near-dup: LSH candidates + exact Jaccard verify (no all-pairs scan)",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(
+        docs, "text", "doc_id", num_hashes=12, rows_per_band=3,
+        threshold=_JACCARD_THRESHOLD,
+    )
 
 
 @register(
@@ -369,7 +418,21 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_features",
-    None,  # mapInPandas decode stage — not SQL-expressible, rows-only check
+    # The fake decoder is deterministic sha256 arithmetic
+    # (operators/multimodal.py:fake_decode), so it has an exact SQL twin:
+    # DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — identical to
+    # hashlib.sha256(payload) since payload = encode(text).
+    """
+    WITH h AS (SELECT doc_id AS id, text, sha256(text) AS hx FROM documents)
+    SELECT id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(CAST(concat('0x', substr(hx, 1, 4)) AS INTEGER) % 640 AS INTEGER) AS width,
+           CAST(CAST(concat('0x', substr(hx, 5, 4)) AS INTEGER) % 480 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS feat_mean
+    FROM h
+    """,
     doc="mapInPandas feature extraction over binary payloads (fake decoder)",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
