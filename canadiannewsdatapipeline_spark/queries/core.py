@@ -133,7 +133,9 @@ def q2_enriched_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(latest, orders.o_orderkey == latest.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        # customer grows with sf — no pinned broadcast; AQE picks BHJ while
+        # it fits the threshold and falls back to SMJ at scale.
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .select(
             "o_orderkey",
@@ -421,8 +423,9 @@ def j7_disjunctive_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    # filtered customer grows with sf — let AQE choose the anti-join build side
     return o.join(
-        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_anti"
+        rich, o.o_custkey == rich.c_custkey, "left_anti"
     ).select("o_orderkey", "o_custkey")
 
 
@@ -674,7 +677,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with sf — AQE decides broadcast vs shuffle join
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -715,8 +719,9 @@ def tpch_q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # supplier grows with sf — AQE decides broadcast vs shuffle join
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
