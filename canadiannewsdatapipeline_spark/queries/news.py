@@ -228,12 +228,22 @@ def _raw_news(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 8 news queries all start from the same transformed frame; the
 # driver runs them back-to-back in one session, so persist it once per
 # (session, sf_dir) — the 8-window plan executes once instead of 8x.
+# Bounded: when a new key arrives, stale entries are unpersisted and
+# evicted so a long-lived session (many sf_dirs / app restarts) never
+# accumulates orphaned persisted frames.
 _TR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TR_CACHE_MAX = 4
 
 
 def _transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TR_CACHE:
+        while len(_TR_CACHE) >= _TR_CACHE_MAX:
+            _, stale = _TR_CACHE.popitem()
+            try:
+                stale.unpersist()
+            except Exception:
+                pass  # session that owned the frame may already be gone
         _TR_CACHE[key] = transformed(
             stg_articles(_raw_news(spark, sf_dir)),
             run_ts=RUN_TS,
