@@ -130,13 +130,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     rows_per_band: int = 3,
     n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: candidate pairs sharing >= 1 band signature, with
     the number of shared bands. Join key is (band, band_signature) —
     an equi-join, so AQE/skew handling applies; no quadratic scan.
 
     Band signatures come straight off the wide per-id signature row
-    (single aggregation), unpivoted with ``stack`` — no second shuffle."""
+    (single aggregation), unpivoted with ``stack`` — no second shuffle.
+
+    ``max_band_freq`` is the 100 TB skew guard: a band signature shared
+    by f docs fans out to f*(f-1)/2 candidate rows, so one boilerplate/
+    empty-doc signature flooding a band turns the equi-join quadratic
+    again. Signatures with frequency > max_band_freq are dropped before
+    the self-join (a windowed count over the same (band, sig) hash
+    partitioning the join needs — no extra join). Duplicate groups that
+    large are still caught by exact dedup on the content hash; LSH only
+    needs the *near*-dup tail. Default None = no clamp (exact oracle
+    semantics)."""
     sh = shingle_set(df, text_col, id_col, n)
     wide = sh.groupBy("id").agg(
         *[
@@ -154,6 +165,15 @@ def minhash_lsh_candidates(
     bands = wide.select(
         "id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band, sig)")
     )
+    if max_band_freq is not None:
+        from pyspark.sql import Window
+
+        freq = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        bands = (
+            bands.withColumn("_band_freq", freq)
+            .filter(F.col("_band_freq") <= max_band_freq)
+            .drop("_band_freq")
+        )
     a = bands.select(F.col("id").alias("id_a"), "band", "sig")
     b = bands.select(F.col("id").alias("id_b"), "band", "sig")
     return (
@@ -161,6 +181,51 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """The production-shape near-dup pipeline: MinHash-LSH candidate
+    generation followed by exact Jaccard verification of ONLY the
+    candidates — never an all-pairs scan.
+
+    The verify stage joins each candidate pair to its two shingle sets
+    via two equi-joins (id_a, then (id_b, shingle)), so the common-
+    shingle count is linear in the candidates' shingles, not quadratic
+    in the corpus. Candidate pairs with zero common shingles fall out
+    of the inner join — identical to jaccard = 0 < threshold."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, rows_per_band, n, max_band_freq
+    ).select("id_a", "id_b")
+    sh = shingle_set(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -107,6 +107,27 @@ def test_jaccard_pairs_identical_docs(spark):
     assert abs(out[0].jaccard - 1.0) < 1e-12
 
 
+def test_minhash_lsh_band_freq_clamp(spark):
+    """Pathological corpus: 50 identical boilerplate docs would fan out
+    to 50*49/2 = 1225 candidate pairs per band; the frequency clamp
+    drops the flooded signature while genuinely-near pairs survive."""
+    from canadiannewsdatapipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = [(i, "subscribe to our newsletter for daily updates today") for i in range(50)]
+    near = [(100, "quick brown fox jumps over the lazy sleeping dog"),
+            (101, "quick brown fox jumps over the lazy sleeping cat")]
+    df = spark.createDataFrame(boiler + near, "id long, t string")
+
+    unclamped = minhash_lsh_candidates(df, "t", "id").collect()
+    assert len(unclamped) >= 1225  # quadratic fan-out on the boilerplate
+
+    clamped = minhash_lsh_candidates(df, "t", "id", max_band_freq=10).collect()
+    pairs = {(r.id_a, r.id_b) for r in clamped}
+    assert (100, 101) in pairs  # near-dup tail survives the clamp
+    assert all(a >= 100 for a, _ in pairs)  # flooded signature dropped
+    assert len(clamped) < 50  # bounded join fan-out
+
+
 def test_quality_checks(spark):
     child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
     parent = spark.createDataFrame([(1,), (2,)], "pk long")
