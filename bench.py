@@ -32,7 +32,9 @@ HEADLINE = [
     "news_articles_mart",
     # training-data extensions
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # LSH + exact-verify composition — the shape you'd run at 100 TB
+    # (the quadratic ngram-jaccard stays a CORRECTNESS-only baseline)
+    "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "text_quality",
