@@ -100,23 +100,39 @@ def jaccard_pairs(
     )
 
 
+def _mh_min(i: int):
+    """Numeric 60-bit minhash aggregate: min over shingles of the first
+    15 hex chars of md5(i ':' shingle) parsed as a bigint.
+
+    Numeric (fixed-width) agg buffers keep the 12-way MIN inside
+    HashAggregate — a MIN over md5 *strings* silently degrades the
+    whole stage to SortAggregate (variable-length buffer), adding a
+    per-partition sort over every shingle. The bigint form also cuts
+    the shuffle row from 12x32-char strings to 12x8 bytes. Engine-
+    portable: DuckDB CAST(concat('0x', substr(md5(..), 1, 15)) AS
+    BIGINT) produces the identical value."""
+    return F.min(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+    ).alias(f"mh{i}")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
-    """(id, hash_index, minhash) — minhash_i = MIN over shingles of
-    md5(i || ':' || shingle). md5-keyed so any engine reproduces it.
+    """(id, hash_index, minhash) — minhash_i = MIN over shingles of a
+    60-bit numeric hash of (i, shingle). md5-keyed so any engine
+    reproduces it.
 
     Computed as ``num_hashes`` MIN aggregates over a single shingle
     explode (wide form, then unpivoted): one shuffle, no x12 row
     multiplication — at 100 TB the explode factor is the difference
     between a pass and a blow-up."""
     sh = shingle_set(df, text_col, id_col, n)
-    wide = sh.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    wide = sh.groupBy("id").agg(*[_mh_min(i) for i in range(num_hashes)])
     stack_expr = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     return wide.select(
         "id", F.expr(f"stack({num_hashes}, {stack_expr}) AS (i, mh)")
@@ -149,12 +165,7 @@ def minhash_lsh_candidates(
     needs the *near*-dup tail. Default None = no clamp (exact oracle
     semantics)."""
     sh = shingle_set(df, text_col, id_col, n)
-    wide = sh.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    wide = sh.groupBy("id").agg(*[_mh_min(i) for i in range(num_hashes)])
     n_bands = num_hashes // rows_per_band
     band_exprs = ", ".join(
         f"{b}, concat_ws('|', "
@@ -202,12 +213,51 @@ def lsh_verified_pairs(
     via two equi-joins (id_a, then (id_b, shingle)), so the common-
     shingle count is linear in the candidates' shingles, not quadratic
     in the corpus. Candidate pairs with zero common shingles fall out
-    of the inner join — identical to jaccard = 0 < threshold."""
-    cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, rows_per_band, n, max_band_freq
-    ).select("id_a", "id_b")
-    sh = shingle_set(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    of the inner join — identical to jaccard = 0 < threshold.
+
+    The plan is a diamond (the shingle set feeds banding AND both
+    verify joins; the per-doc aggregate feeds banding AND both size
+    lookups), so both intermediates are persisted — without that Spark
+    recomputes the shingle explode in 6 branches. Spark's
+    ContextCleaner unpersists them once unreferenced; on a 100 TB run
+    swap the persist for a checkpoint to cluster storage (the same
+    two-phase shape plans/runner.py uses). Shingle sizes ride along in
+    the signature aggregate (one extra COUNT column) instead of a
+    second aggregation over the shingles."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_set(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    wide = sh.groupBy("id").agg(
+        *[_mh_min(i) for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_bands = num_hashes // rows_per_band
+    band_exprs = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(n_bands)
+    )
+    bands = wide.select(
+        "id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band, sig)")
+    )
+    if max_band_freq is not None:
+        from pyspark.sql import Window
+
+        freq = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        bands = (
+            bands.withColumn("_band_freq", freq)
+            .filter(F.col("_band_freq") <= max_band_freq)
+            .drop("_band_freq")
+        )
+    ba = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    bb = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
@@ -216,8 +266,8 @@ def lsh_verified_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = wide.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = wide.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )

@@ -99,15 +99,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES},
     mh AS (
       SELECT sh.id, g.i,
-             MIN(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle)) AS mh
+             MIN(CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 15)) AS BIGINT)) AS mh
       FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
       GROUP BY sh.id, g.i
     ),
     bands AS (
       SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
-             MAX(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
-             MAX(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
-             MAX(CASE WHEN i % 3 = 2 THEN mh END) AS sig
+             CAST(MAX(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
+             CAST(MAX(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
+             CAST(MAX(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS sig
       FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
     )
     SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared_bands
@@ -128,15 +128,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES},
     mh AS (
       SELECT sh.id, g.i,
-             MIN(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle)) AS mh
+             MIN(CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 15)) AS BIGINT)) AS mh
       FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
       GROUP BY sh.id, g.i
     ),
     bands AS (
       SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
-             MAX(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
-             MAX(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
-             MAX(CASE WHEN i % 3 = 2 THEN mh END) AS sig
+             CAST(MAX(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
+             CAST(MAX(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
+             CAST(MAX(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS sig
       FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
     ),
     cand AS (
