@@ -40,6 +40,9 @@ HEADLINE = [
     "text_quality",
     "stream_windowed_counts",
     "events_sessionize_stats",
+    # corpus assembly (added r2)
+    "events_asof_attribution",
+    "pack_token_shards",
 ]
 
 

@@ -1,7 +1,8 @@
 """Simulate the grading driver: entry() smoke + queries() vs
 oracle_sql() DuckDB differential at the given scale factor.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+(default sf0.01; optional query names restrict the run)
 """
 
 from __future__ import annotations
@@ -53,6 +54,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     bad = []
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, sf_dir)
