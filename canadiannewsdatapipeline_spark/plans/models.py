@@ -65,13 +65,27 @@ def transformed(
     run_ts: str = DEFAULT_RUN_TS,
     excluded_sources: tuple[str, ...] = ("toronto_star", "cbc"),
 ) -> DataFrame:
-    """ref/transformed.sql:1-247 — the reference's core cleaning model."""
-    df = stg
+    """ref/transformed.sql:1-247 — the reference's core cleaning model.
+
+    Shuffle plan: all seven window partitionings contain ``author`` (or
+    ``author_t = trim(author)``), and author -> author_t is a functional
+    dependency, so prefixing every window key with ``author_t`` never
+    splits a group while making one hash exchange on ``author_t``
+    satisfy all of them (HashPartitioning on a subset of the clustering
+    keys satisfies ClusteredDistribution). One shuffle + seven
+    pipelined sorts instead of seven shuffles. NULL authors all land in
+    one partition, but the reference drops them two steps later
+    (null-rejecting ``!=``), so the skew is bounded by one source's
+    null rate; at 100 TB pre-filter or salt if that rate is high.
+    """
+    df = stg.withColumn("author_t", F.trim(F.col("author"))).repartition(
+        F.col("author_t")
+    )
 
     # BACKFILL_CONTENT (transformed.sql:41-54): null-rejecting match on
     # (author, author_email, title, source, url) — raw author/email.
     w_content = Window.partitionBy(
-        "author", "author_email", "title", "news_source_name", "url"
+        "author_t", "author", "author_email", "title", "news_source_name", "url"
     )
     all_keys_nn = (
         F.col("author").isNotNull()
@@ -97,7 +111,8 @@ def transformed(
     df = df.filter(F.col("author") != "www.facebook.com")
 
     # CLEANED_AUTHOR / CLEANED_AUTHOR2 (transformed.sql:91-106).
-    df = df.withColumn("author_t", F.trim(F.col("author"))).withColumn(
+    # (author_t computed upfront to drive the shared partitioning.)
+    df = df.withColumn(
         "author_email_c", F.regexp_replace(F.lower("author_email"), r"\n", "")
     )
 
@@ -133,18 +148,18 @@ def transformed(
     # correlates against DROP_URL_AUTHOR, before trimming).
     df = df.withColumn("content_h", F.md5("article_content"))
     b1 = F.min("publishedat").over(
-        Window.partitionBy("title", "author", "news_source_name")
+        Window.partitionBy("author_t", "title", "author", "news_source_name")
     )
     b2 = F.when(
         F.col("url").isNotNull(),
         F.min("publishedat").over(
-            Window.partitionBy("url", "author", "news_source_name")
+            Window.partitionBy("author_t", "url", "author", "news_source_name")
         ),
     )
     b3 = F.when(
         F.col("article_content").isNotNull(),
         F.min("publishedat").over(
-            Window.partitionBy("content_h", "author", "news_source_name")
+            Window.partitionBy("author_t", "content_h", "author", "news_source_name")
         ),
     )
     df = df.withColumn(

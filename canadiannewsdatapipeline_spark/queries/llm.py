@@ -23,7 +23,11 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import attach_binary_payload, decode_features
-from ..operators.similarity import ann_lsh_pairs, cosine_pairs, cosine_topk
+from ..operators.similarity import (
+    ann_lsh_multitable_pairs,
+    cosine_pairs,
+    cosine_topk,
+)
 from ..operators.textstats import (
     LANG_STOPWORDS,
     fingerprint,
@@ -260,52 +264,65 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "vec_id", "embedding", F.col("vec_id") < 20, k=5)
 
 
+_LSH_TABLES = 12
+_LSH_PLANES = 5
+
+
 @register(
     "sim_ann_lsh",
     f"""
     WITH planes AS (
-      SELECT p.p, j.j,
-             CAST((ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
-      FROM (SELECT unnest(generate_series(0, 7)) AS p) p,
+      SELECT t.t, p.p, j.j,
+             CAST((ascii(substr(md5(CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
+      FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t) t,
+           (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS p) p,
            (SELECT unnest(generate_series(0, 63)) AS j) j
     ),
     dots AS (
-      SELECT e.vec_id, pl.p,
+      SELECT e.vec_id, pl.t, pl.p,
              ROUND(SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.h), 6) AS dot
       FROM embeddings e, planes pl
-      GROUP BY e.vec_id, pl.p
+      GROUP BY e.vec_id, pl.t, pl.p
     ),
     buckets AS (
-      SELECT vec_id,
+      SELECT vec_id, t,
              CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
                AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
+      FROM dots GROUP BY vec_id, t
     ),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
-             ea.embedding AS ea, eb.embedding AS eb
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM buckets a
-      JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
     ),
     el AS (
-      SELECT id_a, id_b, bucket,
-             SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
-             SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
-             SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
-      FROM cand, (SELECT unnest(generate_series(1, 64)) AS i) g
-      GROUP BY id_a, id_b, bucket
+      SELECT c.id_a, c.id_b,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b,
+           (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY c.id_a, c.id_b
     )
-    SELECT id_a, id_b, bucket, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
     FROM el
     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
     """,
-    doc="sign-LSH bucketed ANN (scale path): bucket equi-join + exact verify",
+    doc="multi-table sign-LSH ANN (OR-of-ANDs): one (tbl,bucket) equi-join + exact verify",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_pairs(emb, "vec_id", "embedding", threshold=_COS_THRESHOLD)
+    return ann_lsh_multitable_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_COS_THRESHOLD,
+        n_tables=_LSH_TABLES,
+        n_planes=_LSH_PLANES,
+    )
 
 
 def _in_list(words: tuple[str, ...]) -> str:
@@ -493,7 +510,7 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 32),
     d AS (
       SELECT e.vec_id, c.cid,
              ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)) /
@@ -508,7 +525,7 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY cos_c DESC, cid ASC) AS rn
         FROM d
-      ) WHERE rn <= 2
+      ) WHERE rn <= 4
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -533,7 +550,7 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM el
     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
     """,
-    doc="IVF-bucketed ANN (scale path): multi-probe (top-2 cell) quantization, verify in-cell",
+    doc="IVF-bucketed ANN (scale path): multi-probe (top-4 of 32 cells) quantization, verify in-cell",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_pairs
@@ -541,5 +558,5 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_pairs(
         emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
-        centroid_filter=F.col("vec_id") < 8, n_probe=2,
+        centroid_filter=F.col("vec_id") < 32, n_probe=4,
     )

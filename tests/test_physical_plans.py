@@ -45,6 +45,20 @@ def test_q2_single_window_shuffle(spark):
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_transformed_single_window_exchange(spark):
+    # all 7 window partitionings share one exchange on author_t
+    # (author -> trim(author) functional dependency; see plans/models.py).
+    # Built fresh: the registered query returns the persisted _TR_CACHE
+    # frame, whose finalized-AQE string nests cached-plan exchanges.
+    from canadiannewsdatapipeline_spark.plans.models import stg_articles, transformed
+    from canadiannewsdatapipeline_spark.queries.news import _raw_news
+
+    df = transformed(stg_articles(_raw_news(spark, SF)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 8  # 8 window ops, one shared shuffle
+
+
 def test_backfill_has_no_join(spark):
     plan = _formatted(spark, "j4_backfill_within_group")
     # correlated-subquery rewrite: window aggregate, zero joins
