@@ -53,18 +53,58 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_set(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    t = tokens_col(text_col)
+def _shingles_expr(n: int):
     parts = ", ".join(f"t[j + {k}]" for k in range(n))
-    shingles = F.expr(
+    return F.expr(
         f"transform(sequence(0, size(t) - {n}), j -> concat_ws(' ', {parts}))"
+    )
+
+
+def shingle_set(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``array_distinct`` dedups inside each document's array *before* the
+    explode, so the output rows are already distinct (ids are unique
+    upstream) — no cross-row ``distinct()``, which would be a full
+    shuffle of arbitrary-length shingle strings for nothing."""
+    t = tokens_col(text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), t.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("id", F.explode(F.array_distinct(_shingles_expr(n))).alias("shingle"))
+    )
+
+
+# 2^31 - 1 (Mersenne prime) — the universal-hash modulus. Products
+# (1000003*11 + 1) * (M31 - 1) stay < 2^55, exact in bigint on both
+# engines.
+M31 = 2147483647
+
+
+def shingle_hash_set(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct 31-bit shingle hashes per document: (id, h) with
+    h = bigint(first 15 hex chars of md5(shingle)) mod M31.
+
+    The expensive digest runs ONCE per shingle — the ``num_hashes``
+    signature hashes derive from h by exact integer universal hashing
+    (see ``_mh_min``) — and every downstream shuffle/join carries an
+    8-byte key instead of an arbitrary-length n-gram string. The hash
+    and dedup both happen inside the per-document array, so the first
+    shuffle in any consumer is the signature aggregation itself.
+    Cross-doc hash collisions (~n_shingles/2^31) are reproduced
+    identically by the oracle (same md5-derived values)."""
+    t = tokens_col(text_col)
+    hashes = F.array_distinct(
+        F.transform(
+            _shingles_expr(n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            % M31,
+        )
     )
     return (
         df.select(F.col(id_col).alias("id"), t.alias("t"))
         .filter(F.size("t") >= n)
-        .select("id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
+        .select("id", F.explode(hashes).alias("h"))
     )
 
 
@@ -101,37 +141,32 @@ def jaccard_pairs(
 
 
 def _mh_min(i: int):
-    """Numeric 60-bit minhash aggregate: min over shingles of the first
-    15 hex chars of md5(i ':' shingle) parsed as a bigint.
+    """Minhash aggregate i: MIN over the doc's shingle hashes of the
+    universal hash ((1000003*i + 1)*h + i) mod M31.
 
-    Numeric (fixed-width) agg buffers keep the 12-way MIN inside
-    HashAggregate — a MIN over md5 *strings* silently degrades the
-    whole stage to SortAggregate (variable-length buffer), adding a
-    per-partition sort over every shingle. The bigint form also cuts
-    the shuffle row from 12x32-char strings to 12x8 bytes. Engine-
-    portable: DuckDB CAST(concat('0x', substr(md5(..), 1, 15)) AS
-    BIGINT) produces the identical value."""
-    return F.min(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-    ).alias(f"mh{i}")
+    Pure bigint arithmetic off the single per-shingle digest — 12
+    signatures cost 12 multiply-adds per row, not 12 md5s of the full
+    n-gram text. Numeric (fixed-width) agg buffers keep the 12-way MIN
+    inside HashAggregate; MIN over md5 *strings* silently degrades the
+    stage to SortAggregate (variable-length buffers) with a
+    per-partition sort over every shingle. Identical in any engine
+    with exact 64-bit integer ops (products < 2^55)."""
+    mult = 1000003 * i + 1
+    return F.min((F.lit(mult) * F.col("h") + F.lit(i)) % M31).alias(f"mh{i}")
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
-    """(id, hash_index, minhash) — minhash_i = MIN over shingles of a
-    60-bit numeric hash of (i, shingle). md5-keyed so any engine
-    reproduces it.
+    """(id, hash_index, minhash) — minhash_i = MIN over the doc's
+    31-bit shingle hashes of universal hash i (see ``_mh_min``).
+    md5-seeded so any engine reproduces it.
 
     Computed as ``num_hashes`` MIN aggregates over a single shingle
     explode (wide form, then unpivoted): one shuffle, no x12 row
     multiplication — at 100 TB the explode factor is the difference
     between a pass and a blow-up."""
-    sh = shingle_set(df, text_col, id_col, n)
+    sh = shingle_hash_set(df, text_col, id_col, n)
     wide = sh.groupBy("id").agg(*[_mh_min(i) for i in range(num_hashes)])
     stack_expr = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     return wide.select(
@@ -164,7 +199,7 @@ def minhash_lsh_candidates(
     large are still caught by exact dedup on the content hash; LSH only
     needs the *near*-dup tail. Default None = no clamp (exact oracle
     semantics)."""
-    sh = shingle_set(df, text_col, id_col, n)
+    sh = shingle_hash_set(df, text_col, id_col, n)
     wide = sh.groupBy("id").agg(*[_mh_min(i) for i in range(num_hashes)])
     n_bands = num_hashes // rows_per_band
     band_exprs = ", ".join(
@@ -209,11 +244,14 @@ def lsh_verified_pairs(
     generation followed by exact Jaccard verification of ONLY the
     candidates — never an all-pairs scan.
 
-    The verify stage joins each candidate pair to its two shingle sets
-    via two equi-joins (id_a, then (id_b, shingle)), so the common-
+    The verify stage joins each candidate pair to its two shingle-hash
+    sets via two equi-joins (id_a, then (id_b, h)), so the common-
     shingle count is linear in the candidates' shingles, not quadratic
-    in the corpus. Candidate pairs with zero common shingles fall out
-    of the inner join — identical to jaccard = 0 < threshold.
+    in the corpus, and the join key is an 8-byte hash, not the n-gram
+    text. Candidate pairs with zero common shingles fall out of the
+    inner join — identical to jaccard = 0 < threshold. Jaccard is
+    computed over the 31-bit hash sets; the oracle derives the same
+    hashes, so collisions (~|shingles|/2^31) agree bit-for-bit.
 
     The plan is a diamond (the shingle set feeds banding AND both
     verify joins; the per-doc aggregate feeds banding AND both size
@@ -226,7 +264,7 @@ def lsh_verified_pairs(
     second aggregation over the shingles."""
     from pyspark.storagelevel import StorageLevel
 
-    sh = shingle_set(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hash_set(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     wide = sh.groupBy("id").agg(
         *[_mh_min(i) for i in range(num_hashes)],
         F.count(F.lit(1)).alias("n_sh"),
@@ -258,11 +296,11 @@ def lsh_verified_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
     common = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -54,6 +54,34 @@ sh AS (
 _JACCARD_THRESHOLD = 0.5
 _COS_THRESHOLD = 0.4
 
+# distinct 31-bit shingle hashes per doc (mirrors
+# operators/dedup.py::shingle_hash_set: one md5 per shingle, reduced
+# mod 2^31-1; the 12 minhash functions derive from h by exact bigint
+# universal hashing, so both engines agree bit-for-bit)
+_SHINGLE_HASHES = f"""
+toks AS ({_TOKS}),
+shs AS (
+  SELECT DISTINCT doc_id AS id,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) g
+  WHERE i <= len(t) - 2
+)"""
+
+_MH_CTE = """
+mh AS (
+  SELECT shs.id, g.i,
+         MIN(((1000003 * g.i + 1) * shs.h + g.i) % 2147483647) AS mh
+  FROM shs, (SELECT unnest(generate_series(0, 11)) AS i) g
+  GROUP BY shs.id, g.i
+),
+bands AS (
+  SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+         CAST(MAX(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
+         CAST(MAX(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
+         CAST(MAX(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS sig
+  FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
+)"""
+
 _COMMON_JACCARD = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
@@ -100,20 +128,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH {_SHINGLES},
-    mh AS (
-      SELECT sh.id, g.i,
-             MIN(CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 15)) AS BIGINT)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
-      GROUP BY sh.id, g.i
-    ),
-    bands AS (
-      SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
-             CAST(MAX(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
-             CAST(MAX(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
-             CAST(MAX(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS sig
-      FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
-    )
+    WITH {_SHINGLE_HASHES},
+    {_MH_CTE}
     SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared_bands
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
@@ -129,31 +145,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_verified",
     f"""
-    WITH {_SHINGLES},
-    mh AS (
-      SELECT sh.id, g.i,
-             MIN(CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 15)) AS BIGINT)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) g
-      GROUP BY sh.id, g.i
-    ),
-    bands AS (
-      SELECT id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
-             CAST(MAX(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
-             CAST(MAX(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
-             CAST(MAX(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS sig
-      FROM mh GROUP BY id, CAST(FLOOR(i / 3) AS INTEGER)
-    ),
+    WITH {_SHINGLE_HASHES},
+    {_MH_CTE},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
     ),
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shs GROUP BY id),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN sh a ON a.id = c.id_a
-      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      JOIN shs a ON a.id = c.id_a
+      JOIN shs b ON b.id = c.id_b AND b.h = a.h
       GROUP BY 1, 2
     )
     SELECT c.id_a, c.id_b,
