@@ -104,3 +104,66 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = tokens_col(text_col)
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def _gram_stats(sh: DataFrame, prefix: str) -> DataFrame:
+    """(id, {p}_total, {p}_distinct, {p}_top) from exploded (id, g)
+    rows: two hash aggregates, both map-side combinable, both keyed on
+    id — the scale-dominant cost is one shuffle of (id, gram) pairs."""
+    return (
+        sh.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("cnt").alias(f"{prefix}_top"),
+        )
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021,
+    "Scaling Language Models", §A.1.1 repetition filters):
+
+    - top_token_frac: occurrences of the most frequent token / total
+      tokens (catches 'foo foo foo ...' floods),
+    - top_2gram_frac: same for word 2-grams (boilerplate catch),
+    - dup_3gram_frac: 1 - distinct/total word 3-grams (template catch).
+
+    All ratios are exact-int counts with one final double division, so
+    they are bit-identical across engines. Docs with fewer tokens than
+    the gram width get 0.0 (no grams => nothing repeated)."""
+    from .dedup import _shingles_expr, tokens_col
+
+    base = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    toks = base.filter(F.size("t") >= 1).select("id", F.explode("t").alias("g"))
+    g2 = base.filter(F.size("t") >= 2).select(
+        "id", F.explode(_shingles_expr(2)).alias("g")
+    )
+    g3 = base.filter(F.size("t") >= 3).select(
+        "id", F.explode(_shingles_expr(3)).alias("g")
+    )
+    s1 = _gram_stats(toks, "t1")
+    s2 = _gram_stats(g2, "t2")
+    s3 = _gram_stats(g3, "t3")
+    frac = lambda n, d: F.coalesce(  # noqa: E731
+        F.col(n).cast("double") / F.col(d).cast("double"), F.lit(0.0)
+    )
+    return (
+        base.select("id")
+        .join(s1, "id", "left")
+        .join(s2, "id", "left")
+        .join(s3, "id", "left")
+        .select(
+            "id",
+            F.coalesce("t1_total", F.lit(0)).alias("n_tokens"),
+            frac("t1_top", "t1_total").alias("top_token_frac"),
+            frac("t2_top", "t2_total").alias("top_2gram_frac"),
+            F.coalesce(
+                (F.col("t3_total") - F.col("t3_distinct")).cast("double")
+                / F.col("t3_total").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_3gram_frac"),
+        )
+    )

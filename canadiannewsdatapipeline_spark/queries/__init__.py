@@ -13,5 +13,6 @@ from . import news  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import dashboard  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query_map", "oracle_sql_map"]

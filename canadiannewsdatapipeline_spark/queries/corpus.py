@@ -1,0 +1,231 @@
+"""Corpus-construction extensions, round 2: near-dup cluster
+resolution (keep-one-per-component), PII redaction, Gopher-style
+repetition filters, and int8 embedding quantization — the operators a
+100 TB training-data build runs between raw scrape and tokenizer.
+
+Oracle dialect notes: DuckDB SUM(BIGINT) returns HUGEINT — every
+summed bigint is wrapped in CAST(... AS BIGINT); connected components
+is expressed as a recursive transitive closure (exact, so it agrees
+with the Spark side's exact label-propagation fixpoint); list indexing
+is 1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, count_pii, scrub_pii
+from ..operators.cluster import dup_clusters
+from ..operators.dedup import lsh_verified_pairs
+from ..operators.embeddings import quantize_stats
+from ..operators.textstats import repetition_features
+from ..sources.registry import load_table
+from .llm import _JACCARD_THRESHOLD, _MH_CTE, _SHINGLE_HASHES, _TOKS
+from .registry import register
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_HASHES},
+    {_MH_CTE},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shs GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shs a ON a.id = c.id_a
+      JOIN shs b ON b.id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.id = c.id_a
+      JOIN sizes sb ON sb.id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lab FROM documents
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    csz AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.id AS doc_id, comp.cluster_id, csz.cluster_size,
+           comp.id = comp.cluster_id AS keep
+    FROM comp JOIN csz ON csz.cluster_id = comp.cluster_id
+    """,
+    doc="near-dup cluster resolution: LSH-verified pairs -> connected components -> keep one per cluster",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        docs, "text", "doc_id", num_hashes=12, rows_per_band=3,
+        threshold=_JACCARD_THRESHOLD,
+    )
+    return dup_clusters(docs, pairs, "doc_id")
+
+
+# Deterministic PII injection: the synthetic corpus is PII-free word
+# salad, so the query plants one email/phone/IP per doc (plus an extra
+# email on doc_id % 3 == 0) derived from doc_id, making the redaction
+# verifiable end-to-end instead of a no-op. SQL twin below builds the
+# identical augmented text.
+def _augmented_text():
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(F.lit("user"), s(d), F.lit("@mail"), s(d % 7), F.lit(".example.com"))
+    extra = F.when(
+        d % 3 == 0, F.concat(F.lit(" cc admin"), s(d), F.lit("@example.org"))
+    ).otherwise(F.lit(""))
+    phone = F.concat(
+        F.lit("(555) "), s(d % 900 + 100), F.lit("-"), s(d % 9000 + 1000)
+    )
+    ip = F.concat(
+        F.lit("10."), s(d % 256), F.lit("."), s(d * 7 % 256), F.lit("."), s(d * 13 % 256)
+    )
+    return F.concat(
+        F.col("text"), F.lit(" contact "), email, extra,
+        F.lit(" call "), phone, F.lit(" from "), ip,
+    )
+
+
+_AUG_SQL = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+       || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@example.org'
+               ELSE '' END
+       || ' call (555) ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+       || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+       || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+       || CAST(doc_id * 7 % 256 AS VARCHAR) || '.'
+       || CAST(doc_id * 13 % 256 AS VARCHAR)
+"""
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INTEGER) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g') AS clean_text
+    FROM aug
+    """,
+    doc="PII redaction: email/phone/IPv4 counts + scrub (deterministic injected PII)",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("t"))
+    ne, np_, ni = count_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        ne.alias("n_emails"),
+        np_.alias("n_phones"),
+        ni.alias("n_ips"),
+        scrub_pii(F.col("t")).alias("clean_text"),
+    )
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH toks AS ({_TOKS}),
+    t1 AS (SELECT doc_id AS id, tok.g AS g FROM toks, unnest(toks.t) AS tok(g)),
+    g2 AS (
+      SELECT doc_id AS id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) s
+      WHERE i <= len(t) - 1
+    ),
+    g3 AS (
+      SELECT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) s
+      WHERE i <= len(t) - 2
+    ),
+    s1 AS (
+      SELECT id, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS dst,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM (SELECT id, g, COUNT(*) AS cnt FROM t1 GROUP BY 1, 2) GROUP BY id
+    ),
+    s2 AS (
+      SELECT id, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS dst,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM (SELECT id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY id
+    ),
+    s3 AS (
+      SELECT id, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS dst,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM (SELECT id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY id
+    )
+    SELECT toks.doc_id AS id,
+           COALESCE(s1.total, 0) AS n_tokens,
+           COALESCE(CAST(s1.top AS DOUBLE) / CAST(s1.total AS DOUBLE), 0.0)
+             AS top_token_frac,
+           COALESCE(CAST(s2.top AS DOUBLE) / CAST(s2.total AS DOUBLE), 0.0)
+             AS top_2gram_frac,
+           COALESCE(CAST(s3.total - s3.dst AS DOUBLE) / CAST(s3.total AS DOUBLE), 0.0)
+             AS dup_3gram_frac
+    FROM toks
+    LEFT JOIN s1 ON s1.id = toks.doc_id
+    LEFT JOIN s2 ON s2.id = toks.doc_id
+    LEFT JOIN s3 ON s3.id = toks.doc_id
+    """,
+    doc="Gopher-style repetition filters: top-token/top-2gram/dup-3gram fractions",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs, "text", "doc_id")
+
+
+@register(
+    "emb_quantize_stats",
+    """
+    WITH el AS (
+      SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    sc AS (
+      SELECT vec_id, MAX(ABS(x)) / 127.0 AS s, SUM(x * x) AS ss
+      FROM el GROUP BY vec_id
+    ),
+    q AS (
+      SELECT el.vec_id,
+             CASE WHEN sc.s = 0 THEN 0
+                  ELSE CAST(ROUND(el.x / sc.s, 0) AS BIGINT) END AS qv
+      FROM el JOIN sc ON sc.vec_id = el.vec_id
+    )
+    SELECT sc.vec_id AS id,
+           CAST(64 AS INTEGER) AS dim,
+           ROUND(sqrt(sc.ss), 6) AS l2_norm,
+           ROUND(sc.s, 6) AS scale,
+           CAST(SUM(q.qv) AS BIGINT) AS q_sum,
+           CAST(SUM(ABS(q.qv)) AS BIGINT) AS q_l1,
+           CAST(SUM(CASE WHEN ABS(q.qv) = 127 THEN 1 ELSE 0 END) AS INTEGER) AS n_sat
+    FROM sc JOIN q ON q.vec_id = sc.vec_id
+    GROUP BY sc.vec_id, sc.ss, sc.s
+    """,
+    doc="int8 embedding quantization summary: norm, scale, quantized sums, saturation",
+)
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_stats(emb, "vec_id", "embedding", bits=8)

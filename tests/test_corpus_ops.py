@@ -1,0 +1,134 @@
+"""Unit tests for the round-2 corpus-construction operators: connected
+components / dup clustering, PII scrub, repetition features, embedding
+quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canadiannewsdatapipeline_spark.operators.cluster import (
+    connected_components,
+    dup_clusters,
+)
+from canadiannewsdatapipeline_spark.operators.embeddings import (
+    normalized,
+    quantize_stats,
+)
+from canadiannewsdatapipeline_spark.operators.textstats import repetition_features
+from canadiannewsdatapipeline_spark.functions.pii import count_pii, scrub_pii
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+
+
+def test_cc_chain_converges_to_min(spark):
+    # Pathological 16-hop chain: path-halving must still reach the
+    # exact fixpoint (every node labelled 0).
+    n = 17
+    lab = connected_components(
+        _nodes(spark, range(n)), _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    )
+    got = {r["id"]: r["lab"] for r in lab.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_components_and_singletons(spark):
+    # Two components {1,2,3,9} (via 9-1 edge given out of order) and
+    # {5,6}; 4 and 7 isolated.
+    lab = connected_components(
+        _nodes(spark, [1, 2, 3, 4, 5, 6, 7, 9]),
+        _pairs(spark, [(2, 3), (9, 1), (1, 2), (5, 6)]),
+    )
+    got = {r["id"]: r["lab"] for r in lab.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_keep_one(spark):
+    docs = spark.createDataFrame([(i, "x") for i in [10, 11, 12, 20]], "doc_id long, text string")
+    out = dup_clusters(docs, _pairs(spark, [(10, 11), (11, 12)]), "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[10]["cluster_id"] == 10 and rows[10]["keep"]
+    assert rows[11]["cluster_id"] == 10 and not rows[11]["keep"]
+    assert rows[12]["cluster_size"] == 3
+    assert rows[20]["keep"] and rows[20]["cluster_size"] == 1
+    # keep-one invariant: exactly one keeper per cluster
+    assert out.filter("keep").groupBy("cluster_id").count().filter("count != 1").count() == 0
+
+
+@pytest.mark.parametrize(
+    "text,exp_counts,exp_clean",
+    [
+        (
+            "mail a@b.co or (555) 123-4567 at 10.0.0.1 end",
+            (1, 1, 1),
+            "mail <EMAIL> or <PHONE> at <IP> end",
+        ),
+        ("no pii here 1.2 v3", (0, 0, 0), "no pii here 1.2 v3"),
+        (
+            "two a.b-c@x.org d@e.io and 192.168.001.255",
+            (2, 0, 1),
+            "two <EMAIL> <EMAIL> and <IP>",
+        ),
+    ],
+)
+def test_pii_scrub(spark, text, exp_counts, exp_clean):
+    df = spark.createDataFrame([(text,)], "t string")
+    ne, np_, ni = count_pii(F.col("t"))
+    row = df.select(
+        ne.alias("e"), np_.alias("p"), ni.alias("i"), scrub_pii(F.col("t")).alias("c")
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == exp_counts
+    assert row["c"] == exp_clean
+
+
+def test_repetition_features(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one token repeated 4x
+            (2, "a b c d e"),  # no repetition
+            (3, "x"),  # too short for 2/3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in repetition_features(docs, "text", "doc_id").collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["top_2gram_frac"] == 1.0  # 'spam spam' x3
+    assert got[1]["dup_3gram_frac"] == pytest.approx(0.5)  # 2 grams, 1 distinct
+    assert got[2]["top_token_frac"] == pytest.approx(0.2)
+    assert got[2]["dup_3gram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["top_2gram_frac"] == 0.0
+
+
+def test_quantize_stats_known_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["id"]: r for r in quantize_stats(df, "vec_id", "embedding").collect()}
+    r1 = got[1]
+    assert r1["dim"] == 4
+    # scale = 1/127; q = [127, -64 (63.5 rounds away from zero), 32, 0]
+    assert r1["q_sum"] == 127 - 64 + 32
+    assert r1["q_l1"] == 127 + 64 + 32
+    assert r1["n_sat"] == 1
+    assert r1["l2_norm"] == pytest.approx((1 + 0.25 + 0.0625) ** 0.5, abs=1e-6)
+    r2 = got[2]
+    assert r2["scale"] == 0.0 and r2["q_sum"] == 0 and r2["n_sat"] == 0
+
+
+def test_normalized_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["id"]: r["unit"] for r in normalized(df, "vec_id", "embedding").collect()}
+    assert got[1] == pytest.approx([0.6, 0.8])
+    assert got[2] == [0.0, 0.0]
