@@ -229,3 +229,27 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_stats(emb, "vec_id", "embedding", bits=8)
+
+
+@register(
+    "events_window_range_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="event-time range join: every click x purchases by same user within 30 min (batch twin of the stream-stream join)",
+)
+def events_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import click_purchase_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within_minutes=30,
+    )
