@@ -253,3 +253,115 @@ def events_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         within_minutes=30,
     )
+
+
+@register(
+    "corpus_quality_filter",
+    f"""
+    WITH RECURSIVE {_SHINGLE_HASHES},
+    {_MH_CTE},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shs GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shs a ON a.id = c.id_a
+      JOIN shs b ON b.id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.id = c.id_a
+      JOIN sizes sb ON sb.id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lab FROM documents
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    t1 AS (SELECT doc_id AS id, tok.g AS g FROM toks, unnest(toks.t) AS tok(g)),
+    rep AS (
+      SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_frac
+      FROM (SELECT id, g, COUNT(*) AS cnt FROM t1 GROUP BY 1, 2) GROUP BY id
+    ),
+    lang AS (
+      SELECT doc_id AS id,
+             len(list_intersect(list_distinct(t), ['the', 'a', 'of', 'and', 'is'])) AS s_en,
+             len(list_intersect(list_distinct(t), ['le', 'la', 'et', 'les', 'une'])) AS s_fr,
+             len(list_intersect(list_distinct(t), ['el', 'los', 'y', 'las', 'que'])) AS s_es,
+             len(list_intersect(list_distinct(t), ['der', 'die', 'und', 'das', 'ist'])) AS s_de
+      FROM toks
+    )
+    SELECT d.doc_id,
+           CASE WHEN comp.id <> comp.cluster_id THEN 'duplicate'
+                WHEN rep.n_tokens < 20 THEN 'too_short'
+                WHEN rep.top_token_frac > 0.15 THEN 'repetitive'
+                WHEN NOT (lang.s_en >= lang.s_fr AND lang.s_en >= lang.s_es
+                          AND lang.s_en >= lang.s_de) THEN 'non_english'
+                ELSE NULL END AS reject_reason,
+           (comp.id = comp.cluster_id AND rep.n_tokens >= 20
+            AND rep.top_token_frac <= 0.15
+            AND lang.s_en >= lang.s_fr AND lang.s_en >= lang.s_es
+            AND lang.s_en >= lang.s_de) AS keep
+    FROM documents d
+    JOIN comp ON comp.id = d.doc_id
+    JOIN rep ON rep.id = d.doc_id
+    JOIN lang ON lang.id = d.doc_id
+    """,
+    doc="flagship corpus filter: near-dup cluster keep + length + repetition + language, with per-doc reject reason",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the dedup-cluster, repetition, and language
+    operators into the keep/drop decision a corpus build actually
+    ships: reject priority duplicate > too_short > repetitive >
+    non_english (deterministic, so the reason column is hashable).
+
+    All three inputs are joined on doc_id — at scale each is a
+    map-side-combined aggregation hash-partitioned on the same key, so
+    the three-way join co-partitions with no extra exchange beyond the
+    aggregations' own."""
+    from ..operators.textstats import language_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        docs, "text", "doc_id", num_hashes=12, rows_per_band=3,
+        threshold=_JACCARD_THRESHOLD,
+    )
+    clusters = dup_clusters(docs, pairs, "doc_id").select(
+        F.col("doc_id").alias("id"), (~F.col("keep")).alias("is_dup")
+    )
+    rep = repetition_features(docs, "text", "doc_id").select(
+        "id", "n_tokens", "top_token_frac"
+    )
+    lang = language_scores(docs, "text", "doc_id").select(
+        "id", (F.col("predicted_lang") == "en").alias("is_en")
+    )
+    reason = (
+        F.when(F.col("is_dup"), "duplicate")
+        .when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("top_token_frac") > 0.15, "repetitive")
+        .when(~F.col("is_en"), "non_english")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        clusters.join(rep, "id")
+        .join(lang, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            reason.alias("reject_reason"),
+            reason.isNull().alias("keep"),
+        )
+    )
