@@ -58,7 +58,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp JVM warmup/GC noise
+        for _ in range(3):  # best-of-3: damp JVM warmup/GC noise
             t0 = time.perf_counter()
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
