@@ -211,8 +211,8 @@ def ann_lsh_multitable_pairs(
     of the ``n_tables`` hash tables, are de-duplicated, then verified
     with the exact cosine. Measured at sf0.01 (threshold 0.4, the
     hardest regime for sign-LSH — a 66° angle is barely off random):
-    L=12 k=5 recovers 41/59 true pairs vs 2/59 for the single 8-bit
-    table, verifying ~33% of the quadratic pair space. At production
+    L=16 k=4 recovers 58/59 true pairs (L=12 k=5: 41/59) vs 2/59 for
+    the single 8-bit table. At production
     near-dup thresholds (>= 0.85) the same L x k is ~100% recall on
     <1% of pairs. The join key (tbl, bucket) keeps every table's
     buckets in one shuffle."""
@@ -249,10 +249,9 @@ def ivf_cells(
     centroid id). Multi-probe (n_probe > 1) trades candidate volume
     for recall. Measured sweep at sf0.01 (threshold 0.4, 124,750
     total pairs, 59 true): 8 cells/probe 1 -> 20/59; 8/2 -> 46/59 at
-    57.6k candidates; 32/4 -> 47/59 at 52.7k (better on both axes,
-    the shipped default); 8/3 -> 56/59 but 102k candidates (~brute
-    force). More, finer cells + deeper probe dominates fewer, coarser
-    cells at equal candidate budget.
+    57.6k candidates; 32/4 -> 47/59 at 52.7k; 32/6 -> 57/59 (the
+    shipped default); 32/8 -> 59/59. More, finer cells + deeper probe
+    dominates fewer, coarser cells at equal candidate budget.
 
     Centroids here are a deterministic subset (``centroid_filter``)
     rather than k-means output, so any engine reproduces the

@@ -268,8 +268,11 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "vec_id", "embedding", F.col("vec_id") < 20, k=5)
 
 
-_LSH_TABLES = 12
-_LSH_PLANES = 5
+# 16 tables x 4 planes: measured 58/59 recall @ cos>=0.4 on sf0.01
+# (vs 41/59 at 12x5) with zero post-verify false positives; recall
+# rises with tables (OR) and falls with planes (AND).
+_LSH_TABLES = 16
+_LSH_PLANES = 4
 
 
 @register(
@@ -529,7 +532,7 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY cos_c DESC, cid ASC) AS rn
         FROM d
-      ) WHERE rn <= 4
+      ) WHERE rn <= 6
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -554,7 +557,7 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM el
     WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
     """,
-    doc="IVF-bucketed ANN (scale path): multi-probe (top-4 of 32 cells) quantization, verify in-cell",
+    doc="IVF-bucketed ANN (scale path): multi-probe (top-6 of 32 cells), verify in-cell; 57/59 recall, 0 FP at sf0.01",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_pairs
@@ -562,5 +565,5 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_pairs(
         emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
-        centroid_filter=F.col("vec_id") < 32, n_probe=4,
+        centroid_filter=F.col("vec_id") < 32, n_probe=6,
     )
