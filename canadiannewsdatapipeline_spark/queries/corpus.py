@@ -365,3 +365,35 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             reason.isNull().alias("keep"),
         )
     )
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH per AS (
+      SELECT DISTINCT event_type AS g,
+             CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, u, ROW_NUMBER() OVER (PARTITION BY g ORDER BY u ASC) AS r FROM per
+    ),
+    agg AS (
+      SELECT g, COUNT(*) AS n_kept, MAX(CASE WHEN r = 64 THEN u END) AS u_k
+      FROM ranked WHERE r <= 64 GROUP BY g
+    )
+    SELECT g AS event_type, n_kept, ROUND(COALESCE(u_k, 0.0), 10) AS u_k,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE ROUND(63.0 / u_k, 4) END AS kmv_est
+    FROM agg
+    """,
+    doc="KMV distinct-count sketch per event_type: engine-portable approximate distinct (hash-checked even though approximate)",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64).select(
+        "event_type", "n_kept", "u_k", "kmv_est"
+    )

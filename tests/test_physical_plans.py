@@ -63,3 +63,41 @@ def test_backfill_has_no_join(spark):
     plan = _formatted(spark, "j4_backfill_within_group")
     # correlated-subquery rewrite: window aggregate, zero joins
     assert "Join" not in plan and "Window" in plan
+
+
+def _simple(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_emb_quantize_is_map_only(spark):
+    # pure higher-order array functions: no shuffle, no Python worker
+    plan = _simple(spark, "emb_quantize_stats")
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    plan = _simple(spark, "text_pii_scrub")
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_repetition_single_gram_shuffle(spark):
+    # all three gram widths share one tagged explode: exactly the
+    # (id, gram) exchange + the per-id exchange, not 3x2
+    plan = _simple(spark, "text_repetition")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_range_join_is_equi_not_cartesian(spark):
+    # user_id equi-key carries the join; the time bound is a post-join
+    # condition — never a nested-loop/cartesian plan
+    plan = _simple(spark, "events_window_range_join")
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_filter_no_nested_loop(spark):
+    plan = _simple(spark, "corpus_quality_filter")
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
