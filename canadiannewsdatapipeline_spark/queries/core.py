@@ -798,3 +798,102 @@ def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
     )
+
+
+@register(
+    "a_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderdate) OVER w AS prev_order_date,
+           lead(o_totalprice) OVER w AS next_total,
+           ROW_NUMBER() OVER w AS rn,
+           NTILE(4) OVER w AS quartile,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="window-function breadth: lag/lead/row_number/ntile/cume_dist, one shuffle",
+)
+def a_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five window shapes share ONE window spec -> one hash
+    exchange on o_custkey; o_orderkey (unique) makes the in-partition
+    order total, so every function is deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_order_date"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "u_intersect_except",
+    """
+    SELECT o_custkey AS custkey
+    FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="set-op breadth: INTERSECT + EXCEPT (distinct semantics both engines)",
+)
+def u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1995 and 1996, minus any with a
+    pending order. Spark plans set ops as aggregated joins - the
+    custkey exchanges all co-partition."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pend = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y95.intersect(y96).exceptAll(pend.distinct())
+
+
+@register(
+    "a_time_rollup",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+                            (event_type, CAST(date_trunc('month', ts) AS TIMESTAMP)),
+                            (event_type))
+    """,
+    doc="hypertable-style multi-granularity rollup: day + month + total per event_type in one pass",
+)
+def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: one scan feeds day-level,
+    month-level, and per-type totals via GROUPING SETS (partial
+    aggregation map-side for every set)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_rollup")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('day', ts) AS d,
+               date_trunc('month', ts) AS m,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM _events_rollup
+        GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                                (event_type, date_trunc('month', ts)),
+                                (event_type))
+        """
+    )
