@@ -81,19 +81,30 @@ def pack_token_shards(
     One window per group (single hash partition by group, cumulative
     sum) — the group column (source, language, ...) is what bounds the
     window's partition size at scale; never pack a 100 TB corpus in
-    one global ordering."""
+    one global ordering.
+
+    Token counts are projected BEFORE the window so the shuffle moves
+    only (id, grp, n_tokens) — never the document text itself — and the
+    tokenizer regex runs exactly once per document."""
     tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum(tokens).over(w)
-    return df.select(
+    pre = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
         tokens.alias("n_tokens"),
-        F.floor((cum - tokens) / F.lit(budget)).cast("bigint").alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return pre.select(
+        "id",
+        "grp",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("shard_id"),
     )
 
 

@@ -897,3 +897,242 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_type))
         """
     )
+
+
+@register(
+    "tpch_q6_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast-revenue: fully pushed scan-filter-agg, no shuffle of data rows",
+)
+def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push to the parquet scan; the aggregate is a
+    map-side partial + single-row final — the cheapest possible shape
+    at 100 TB (scan bandwidth bound, ~zero shuffle bytes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item report: 3-way join + group + deterministic top-20",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date filter prunes orders before the join; nation is a broadcast
+    dim; customer<->orders<->lineitem resolve via AQE (shuffle join at
+    scale, broadcast at small sf — no pinned hints on scaling tables).
+    c_custkey breaks revenue ties so the LIMIT is total-ordered."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "j_semi_exists",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+    """,
+    doc="EXISTS correlated subquery as a left-semi join (no row duplication)",
+)
+def j_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: probe side streams, no fan-out however many
+    qualifying orders a customer has — the distributed EXISTS. The
+    totalprice filter lands on the orders scan before the join."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cu.join(o, cu.c_custkey == o.o_custkey, "leftsemi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "a_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) AS n_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="conditional aggregation (TPC-H Q12 shape): FILTER clause vs count/sum-of-CASE",
+)
+def a_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregates compute in ONE pass / one shuffle —
+    conditional masks instead of per-condition self-joins (the
+    distributed rewrite of 'N queries over the same table')."""
+    o = load_table(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(fin, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(fin, _dec("o_totalprice"))).cast("double").alias("finished_value"),
+    )
+
+
+@register(
+    "f_fuzzy_levenshtein",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+    doc="fuzzy string matching: edit-distance theta-join over a broadcast dim",
+)
+def f_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance matching is quadratic by nature - only ever run it
+    on small dims (or LSH-blocked candidates); here nation x nation via
+    broadcast nested loop, never a shuffled cartesian."""
+    na = load_table(spark, sf_dir, "nation")
+    a = na.select(F.col("n_name").alias("name_a"))
+    b = na.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 6)
+    )
+
+
+@register(
+    "a_rolling_time_range",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="rolling 1-hour RANGE window per user: time-interval frame, peer-safe on duplicate ts",
+)
+def a_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over integer epoch-micros: duplicate timestamps are
+    peers and get identical frames in both engines, so no tiebreaker is
+    needed (unlike ROWS frames). One hash exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@register(
+    "a_corr_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 2) AS cov
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    doc="correlation + sample covariance via exact decimal moments (engine-portable corr)",
+)
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r and covar_samp from exact DECIMAL moment sums (same
+    rule as q6_mean_std): five partial-aggregated sums in one shuffle,
+    then one deterministic double expression — native corr() is
+    summation-order-dependent across engines; this is not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = _dec("l_quantity")
+    pd_ = _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).alias("sx"),
+        F.sum(pd_).alias("sy"),
+        F.sum(qd * pd_).alias("sxy"),
+        F.sum(qd * qd).alias("sxx"),
+        F.sum(pd_ * pd_).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    cov = (n * sxy - sx * sy).cast("double") / (
+        n.cast("double") * (n - F.lit(1))
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(r, 6).alias("r"),
+        F.round(cov, 2).alias("cov"),
+    )

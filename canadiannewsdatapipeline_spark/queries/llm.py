@@ -567,3 +567,83 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
         centroid_filter=F.col("vec_id") < 32, n_probe=6,
     )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="corpus length histogram: fixed-width binning, one map-side-combined shuffle",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution scan every corpus-curation run starts with;
+    bucket count is bounded so the final agg is tiny regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100)).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "doc_posexplode_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, i - 1 AS pos, t[i] AS token
+    FROM toks, (SELECT unnest(generate_series(1, 40)) AS i) g
+    WHERE i <= least(len(t), 40)
+    """,
+    doc="lateral positional explode: first-40-token prefix per sampled doc (0-indexed)",
+)
+def doc_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over a sliced token array — the prefix slice happens
+    BEFORE the explode, so the fan-out is bounded at 40 rows/doc no
+    matter how long the document is (explode-then-filter would
+    materialize every token). Spark pos is 0-based; the oracle shifts
+    its 1-based series to match."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = F.slice(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0), 1, 40
+    )
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@register(
+    "stream_static_join_counts",
+    """
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming stream-static broadcast join + tumbling agg (AvailableNow)",
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_static_enrich
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_enrich(
+        spark,
+        events_raw,
+        dim,
+        lambda s, d: s["user_id"] == d["c_custkey"],
+        "c_mktsegment",
+    )

@@ -87,3 +87,50 @@ def windowed_event_counts(
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    segment_col: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join + tumbling agg: each micro-batch joins the
+    static dimension (broadcast — the dim is re-read per batch, so keep
+    it dimension-sized), then windows into per-segment counts and an
+    exact-decimal value sum.
+
+    This is the streaming twin of the batch enrich-join (J1): at scale
+    the stream side never shuffles for the join (broadcast), only for
+    the windowed aggregation — one exchange per micro-batch."""
+    sink = f"sse_{uuid.uuid4().hex[:12]}"
+    stream = spark.readStream.schema(events.schema).parquet(
+        events.inputFiles()[0].rsplit("/", 1)[0]
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.join(F.broadcast(dim), join_expr(stream, dim))
+        .groupBy(F.window("ts", window).alias("w"), F.col(segment_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(segment_col).alias("segment"),
+            "n",
+            "total_value",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)
