@@ -101,3 +101,53 @@ def test_range_join_is_equi_not_cartesian(spark):
 def test_corpus_filter_no_nested_loop(spark):
     plan = _simple(spark, "corpus_quality_filter")
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q6_full_pushdown_no_row_shuffle(spark):
+    # all four predicates reach the scan; the only exchange is the
+    # single-row partial->final aggregate
+    plan = _formatted(spark, "tpch_q6_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    simple = _simple(spark, "tpch_q6_revenue")
+    assert "partial_sum" in simple
+    assert "Exchange hashpartitioning" not in simple  # only SinglePartition
+
+
+def test_pack_shards_shuffles_counts_not_text(spark):
+    # the window exchange must move (id, grp, n_tokens), never the
+    # document text — the property that keeps shard packing viable at
+    # 100 TB (text stays at the scan, only 24 bytes/row shuffle)
+    plan = _simple(spark, "pack_token_shards")
+    # plan text lists post-shuffle operators BEFORE the Exchange line:
+    # neither the text column nor the tokenizer may appear above it
+    above, _, below = plan.partition("Exchange hashpartitioning")
+    assert "regexp_extract_all" not in above and "text#" not in above
+    # and the tokenizer runs exactly once, at the scan side
+    assert below.count("regexp_extract_all") == 1
+
+
+def test_semi_join_no_fanout(spark):
+    plan = _simple(spark, "j_semi_exists")
+    assert "LeftSemi" in plan
+
+
+def test_rolling_range_single_exchange(spark):
+    # one hash exchange on user_id carries both windowed aggregates
+    plan = _simple(spark, "a_rolling_time_range")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_window_suite_single_exchange(spark):
+    # lag/lead/row_number/ntile/cume_dist all share one window spec ->
+    # exactly one shuffle
+    plan = _simple(spark, "a_window_suite")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fuzzy_levenshtein_broadcast_not_shuffle(spark):
+    # theta-join on a dim must be broadcast nested loop, never a
+    # shuffled cartesian
+    plan = _simple(spark, "f_fuzzy_levenshtein")
+    assert "BroadcastNestedLoop" in plan and "CartesianProduct" not in plan
