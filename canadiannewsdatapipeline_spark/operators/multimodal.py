@@ -86,3 +86,44 @@ def decode_features(
     return df.select(F.col(id_col).alias(id_col), payload_col).mapInPandas(
         extract, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    frame_size: int = 64,
+    stride: int = 2,
+) -> DataFrame:
+    """Fixed-size frame sampling over binary payloads — the
+    audio-window / video-frame-extraction shape: slice each payload
+    into ``frame_size``-byte frames and emit every ``stride``-th one
+    with its checksum.
+
+    mapInPandas keeps the slicing in Arrow batches (one Python call
+    per partition batch, not per row); the fan-out is bounded by
+    payload_size/frame_size/stride rows per input row, all computed
+    where the payload already lives — no shuffle at all."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for id_, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                for i in range(0, -(-len(p) // frame_size), stride):
+                    fr = p[i * frame_size : (i + 1) * frame_size]
+                    ids.append(id_)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    md5s.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame_bytes": lens, "frame_md5": md5s}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), payload_col).mapInPandas(
+        frames, FRAME_SCHEMA
+    )

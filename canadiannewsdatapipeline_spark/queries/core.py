@@ -1136,3 +1136,174 @@ def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("r"),
         F.round(cov, 2).alias("cov"),
     )
+
+
+@register(
+    "a_unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+             MAX(o_totalprice) AS max_value
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'total_value' AS metric, total_value AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'max_value' AS metric, max_value AS value FROM m
+    """,
+    doc="wide->long unpivot of per-group metrics (Spark unpivot/stack vs UNION ALL)",
+)
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation pass then an in-place unpivot — the long form
+    costs no extra shuffle (unpivot is a local generate), vs the
+    oracle's 3x UNION re-reads."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        F.max("o_totalprice").alias("max_value"),
+    )
+    return m.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_value", "max_value"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "a_array_agg_ops",
+    """
+    SELECT c_nationkey,
+           CAST(len(ks) AS INTEGER) AS n,
+           ks[1] AS first_key,
+           ks[-1] AS last_key,
+           ks[1:5] AS first5
+    FROM (SELECT c_nationkey, list_sort(list(c_custkey)) AS ks
+          FROM customer GROUP BY c_nationkey)
+    """,
+    doc="array aggregation + element/slice ops: sorted collect_list per group",
+)
+def a_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is safe ONLY because the per-group cardinality is
+    bounded (customers per nation); sort_array makes the aggregation
+    order-insensitive, which is what makes it deterministic under
+    distributed, nondeterministically-ordered partials."""
+    cu = load_table(spark, sf_dir, "customer")
+    g = cu.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("ks")
+    )
+    return g.select(
+        "c_nationkey",
+        F.size("ks").alias("n"),
+        F.element_at("ks", 1).alias("first_key"),
+        F.element_at("ks", -1).alias("last_key"),
+        F.slice("ks", 1, 5).alias("first5"),
+    )
+
+
+@register(
+    "f_datetime_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="datetime scalar breadth: field extraction, interval add, last_day, datediff",
+)
+def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pure column expressions — whole-stage-codegen'd, no Python.
+    DuckDB numbers Sunday 0 where Spark numbers it 1; the oracle
+    shifts (+1) so both emit Spark's convention."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "p_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+    """,
+    doc="uncorrelated scalar subquery: one-row broadcast threshold, no row-vs-row recompute",
+)
+def p_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst evaluates the scalar subquery once and broadcasts the
+    threshold into the scan filter — the distributed equivalent of
+    'compute a constant, then filter', never a join. MAX (not AVG) so
+    the threshold is bit-identical in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _orders_ssq
+        WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM _orders_ssq)
+        """
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    doc="TPC-H Q19 shape: equi-join carries, OR-of-ANDs evaluates post-join",
+)
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi-key (partkey) carries the join; the disjunction cannot
+    push into either scan whole, but its single-table residuals
+    (p_brand IN ..., l_quantity bounds) do — Catalyst extracts them.
+    Never express this as a cartesian with an OR predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return j.filter(clause).agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

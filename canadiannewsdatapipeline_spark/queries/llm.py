@@ -647,3 +647,31 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, d: s["user_id"] == d["c_custkey"],
         "c_mktsegment",
     )
+
+
+@register(
+    "mm_frame_sample",
+    # documents.text is pure ASCII in this corpus (verified), so
+    # char-slicing == byte-slicing and DuckDB md5(VARCHAR) over the
+    # substring equals hashlib.md5 over the same payload bytes.
+    """
+    WITH f AS (
+      SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             substr(text, i * 64 + 1, 64) AS frame
+      FROM documents, (SELECT unnest(generate_series(0, 18)) AS i) g
+      WHERE i * 64 < length(text) AND i % 2 = 0
+    )
+    SELECT id, frame_idx,
+           CAST(length(frame) AS INTEGER) AS frame_bytes,
+           md5(frame) AS frame_md5
+    FROM f
+    """,
+    doc="multimodal frame sampling: every 2nd 64-byte frame + checksum via mapInPandas",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(
+        attach_binary_payload(docs, "text", "doc_id"), frame_size=64, stride=2
+    )
