@@ -1307,3 +1307,133 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey, c_acctbal,
+             'NEWSEG'
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+    doc="MERGE upsert (update-matched + insert-unmatched) as full-outer join + coalesce",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic delta built from the target itself: every 7th
+    customer gets an acctbal update, every 97th spawns an insert with
+    a shifted key. One full-outer shuffle join; AQE broadcasts the
+    delta side when it is small (the production norm)."""
+    from ..operators.merge import merge_upsert
+
+    cu = load_table(spark, sf_dir, "customer")
+    updates = cu.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    inserts = cu.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    return merge_upsert(cu, updates.unionByName(inserts), ["c_custkey"])
+
+
+@register(
+    "a_rank_functions",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity ASC)
+    """,
+    doc="rank/dense_rank/percent_rank: tie-stable by definition (peers share ranks)",
+)
+def a_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank-family functions are deterministic under ties without a
+    tiebreaker (peers get equal values) — unlike row_number, which is
+    why a_window_suite needs its unique-key ordering and this doesn't."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").asc())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "f_string_suite2",
+    """
+    SELECT c_custkey,
+           lpad(c_name, 30, '*') AS padded,
+           repeat(c_mktsegment, 2) AS doubled,
+           reverse(c_name) AS rev,
+           CAST(ascii(substr(c_name, 1, 1)) AS INTEGER) AS first_code,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           substr(c_name, 1, 5) AS l5,
+           substr(c_name, length(c_name) - 4, 5) AS r5
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+    doc="string scalar breadth 2: pad/repeat/reverse/ascii/concat_ws/affixes",
+)
+def f_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    return li.select(
+        "c_custkey",
+        F.lpad("c_name", 30, "*").alias("padded"),
+        F.repeat("c_mktsegment", 2).alias("doubled"),
+        F.reverse("c_name").alias("rev"),
+        F.ascii(F.substring("c_name", 1, 1)).alias("first_code"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.substring("c_name", 1, 5).alias("l5"),
+        F.substring("c_name", -5, 5).alias("r5"),
+    )
+
+
+@register(
+    "f_bitwise_ops",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, 255) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS bits
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    doc="bitwise scalar breadth: and/or/xor/shifts/popcount (hash-bucketing primitives)",
+)
+def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The primitives every hash-partitioner/sketch builds on —
+    all JVM codegen, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("bits"),
+    )

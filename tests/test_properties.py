@@ -89,3 +89,23 @@ def test_exact_dedup_partitions_rows(spark, texts):
     groups = exact_dup_groups(df, "t", "id").collect()
     assert sum(g.n_dups for g in groups) == len(texts)
     assert all(0 <= g.canonical_id < len(texts) for g in groups)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=12, unique=True),
+    st.lists(st.integers(0, 40), min_size=0, max_size=12, unique=True),
+)
+def test_merge_upsert_key_algebra(spark, target_keys, source_keys):
+    """Merged key set == target ∪ source; matched rows take source
+    values; unmatched target rows pass through unchanged."""
+    from canadiannewsdatapipeline_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(k, f"t{k}") for k in target_keys], "k long, v string")
+    s = spark.createDataFrame(
+        [(k, f"s{k}") for k in source_keys], "k long, v string"
+    ) if source_keys else spark.createDataFrame([], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(t, s, ["k"]).collect()}
+    assert set(out) == set(target_keys) | set(source_keys)
+    for k in set(target_keys) | set(source_keys):
+        assert out[k] == (f"s{k}" if k in source_keys else f"t{k}")
