@@ -1437,3 +1437,94 @@ def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("bits"),
     )
+
+
+@register(
+    "events_gap_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d ASC)
+                      AS INTEGER) AS grp
+      FROM days
+    )
+    SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM g GROUP BY user_id, grp
+    """,
+    doc="gaps-and-islands: consecutive-day activity streaks via date-minus-row_number",
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic islands trick: within a user, consecutive dates
+    share (date - row_number) — turning streak detection into a plain
+    groupBy. One exchange for the window, one for the final agg, both
+    keyed on user_id so AQE can reuse the partitioning. The distinct-
+    days step bounds window-partition size at days-per-user, not
+    events-per-user."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+    g = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "a_cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE with GROUPING() markers: all 4 margins in one pass",
+)
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE expands to grouping sets executed in ONE aggregation pass
+    (Expand + partial agg), not 4 scans; GROUPING() disambiguates real
+    NULL keys from margin rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+@register(
+    "u_union_missing_cols",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price, CAST(NULL AS VARCHAR) AS segment
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT c_custkey AS k, CAST(NULL AS DOUBLE) AS price, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+    doc="schema-evolution union: unionByName(allowMissingColumns) null-fills absent columns",
+)
+def u_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-drift union every long-lived ingestion hits: new
+    columns appear in new data, old files lack them. unionByName with
+    allowMissingColumns aligns by NAME (never position) and null-fills
+    — positional unionAll would silently mismatch columns."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    left = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    right = cu.select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
+    )
+    return left.unionByName(right, allowMissingColumns=True)

@@ -134,3 +134,61 @@ def stream_static_enrich(
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+def streaming_upsert_sink(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    keys: list[str],
+    order_col: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """CDC-apply: stream change records and MERGE each micro-batch into
+    the target (foreachBatch + ``merge_upsert``) — the canonical
+    streaming-upsert pattern when the sink isn't a transactional table
+    format. With Delta/Iceberg, swap the body for ``MERGE INTO``; the
+    batch-side dedup (latest change per key, ``order_col`` +
+    deterministic tiebreak) stays identical.
+
+    The parquet target is replaced via write-temp-then-swap so a crash
+    mid-batch never leaves a half-written target; the checkpoint makes
+    re-delivered batches idempotent (same batch -> same merge result).
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup_window import latest_row_per_key
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = latest_row_per_key(
+            batch_df, keys=keys, ts_col=order_col,
+            tiebreakers=[c for c in batch_df.columns if c not in (*keys, order_col)],
+        )
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            merged = merge_upsert(sess.read.parquet(target_dir), batch, keys)
+        else:
+            merged = batch
+        tmp = target_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -35,3 +35,37 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert one_month.count() == orders.filter(
         F.col("order_month") == "1995-03"
     ).count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join filter on the dim side must prune fact partitions at
+    runtime (DPP): the fact scan carries a dynamicpruning subquery
+    instead of reading every month."""
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "orders_dpp")
+    append_raw(orders, out, partition_by=["order_month"])
+
+    fact = spark.read.parquet(out)
+    # dim filtered on a NON-join column: a literal filter on the join
+    # key itself would constraint-propagate into a static partition
+    # filter (no DPP needed) — the runtime-subquery path only kicks in
+    # when the pruning values are unknowable at plan time
+    months = sorted(r.order_month for r in orders.select("order_month").distinct().collect())
+    dim = spark.createDataFrame(
+        [(m, m[5:7]) for m in months], "order_month string, month_no string"
+    )
+    joined = fact.join(dim.filter(F2.col("month_no") == "06"), "order_month")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the fact scan declares a runtime pruning filter fed by the dim
+    # (input_file_name() is unusable post-join, so the scan's declared
+    # PartitionFilters is the pruning evidence)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruningexpression" in pf
+    want = orders.filter(F.col("order_month").substr(6, 2) == "06").count()
+    assert want > 0 and joined.count() == want
