@@ -1528,3 +1528,103 @@ def u_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
     )
     return left.unionByName(right, allowMissingColumns=True)
+
+
+@register(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS semi-join feeding an aggregate",
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (never inner + distinct — that double-counts and
+    shuffles wider) then the priority rollup; the date filter pushes
+    to the orders scan, the quantity filter to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    doc="TPC-H Q13: two-level aggregation (per-customer count, then distribution of counts)",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps zero-order customers (COUNT of a nullable col
+    skips their null), then a second tiny aggregation over the
+    distribution — the canonical histogram-of-group-sizes shape. Both
+    exchanges are on low-cardinality keys; the second input is already
+    one row per customer."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    co = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18: IN-subquery with HAVING on an exact-decimal aggregate (large-volume orders)",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery reduces to a semi-join on qualifying order
+    keys; the decimal threshold compare is exact on both engines (a
+    double HAVING could flip orders sitting on the boundary). The big
+    lineitem agg happens once, keyed the same as the join."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(150).cast("decimal(12,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li.withColumnRenamed("l_orderkey", "lk"), F.col("lk") == o.o_orderkey)
+        .join(big, big.l_orderkey == o.o_orderkey, "leftsemi")
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )

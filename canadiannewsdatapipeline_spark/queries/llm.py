@@ -675,3 +675,39 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(
         attach_binary_payload(docs, "text", "doc_id"), frame_size=64, stride=2
     )
+
+
+@register(
+    "f_higher_order_arrays",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 3)) AS INTEGER) AS n_long,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+             AS total_chars,
+           array_to_string(list_sort(list_distinct(
+             list_transform(toks, x -> substr(x, 1, 1)))), '') AS initials
+    FROM t
+    """,
+    doc="higher-order array functions: lambda filter/transform/aggregate, all JVM-side",
+)
+def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter/transform/aggregate lambdas run inside codegen — the
+    whole per-document token pipeline is one map-only stage, zero
+    explode (no row blow-up) and zero Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(toks, lambda x: F.substring(x, 1, 1)))),
+            "",
+        ).alias("initials"),
+    )
