@@ -1628,3 +1628,27 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "a_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="multiple COUNT(DISTINCT) over different columns: one Expand pass, not N scans",
+)
+def a_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst rewrites N distinct aggregates into a single Expand
+    (one row per distinct-column per input row) + two-level agg — one
+    scan, not one per distinct column. At extreme cardinality swap in
+    the KMV sketch (sketch_kmv_distinct) for a bounded-memory answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -711,3 +711,94 @@ def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("initials"),
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS c
+    FROM ex GROUP BY label, pos
+    """,
+    doc="per-class embedding centroids: element-wise mean (IVF/k-means training primitive)",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + (label, pos) aggregate — one shuffle of (label,
+    pos, v) triples, partial-aggregated map-side so the exchange moves
+    ~num_labels x dim rows, not num_vectors x dim. `+ 0.0` normalizes
+    IEEE -0.0 so both engines render identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.round(
+                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("c")
+    )
+
+
+_ENTROPY_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    q AS (
+      SELECT doc_id, t, CAST((length(t) - length(replace(t, 'a', ''))) + (length(t) - length(replace(t, 'b', ''))) + (length(t) - length(replace(t, 'c', ''))) + (length(t) - length(replace(t, 'd', ''))) + (length(t) - length(replace(t, 'e', ''))) + (length(t) - length(replace(t, 'f', ''))) + (length(t) - length(replace(t, 'g', ''))) + (length(t) - length(replace(t, 'h', ''))) + (length(t) - length(replace(t, 'i', ''))) + (length(t) - length(replace(t, 'j', ''))) + (length(t) - length(replace(t, 'k', ''))) + (length(t) - length(replace(t, 'l', ''))) + (length(t) - length(replace(t, 'm', ''))) + (length(t) - length(replace(t, 'n', ''))) + (length(t) - length(replace(t, 'o', ''))) + (length(t) - length(replace(t, 'p', ''))) + (length(t) - length(replace(t, 'q', ''))) + (length(t) - length(replace(t, 'r', ''))) + (length(t) - length(replace(t, 's', ''))) + (length(t) - length(replace(t, 't', ''))) + (length(t) - length(replace(t, 'u', ''))) + (length(t) - length(replace(t, 'v', ''))) + (length(t) - length(replace(t, 'w', ''))) + (length(t) - length(replace(t, 'x', ''))) + (length(t) - length(replace(t, 'y', ''))) + (length(t) - length(replace(t, 'z', ''))) AS DOUBLE) AS tot FROM p
+    )
+    SELECT doc_id,
+           CASE WHEN tot = 0 THEN 0.0
+                ELSE ROUND(-((CASE WHEN length(t) > length(replace(t, 'a', '')) THEN ((length(t) - length(replace(t, 'a', ''))) / tot) * ln((length(t) - length(replace(t, 'a', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'b', '')) THEN ((length(t) - length(replace(t, 'b', ''))) / tot) * ln((length(t) - length(replace(t, 'b', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'c', '')) THEN ((length(t) - length(replace(t, 'c', ''))) / tot) * ln((length(t) - length(replace(t, 'c', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'd', '')) THEN ((length(t) - length(replace(t, 'd', ''))) / tot) * ln((length(t) - length(replace(t, 'd', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'e', '')) THEN ((length(t) - length(replace(t, 'e', ''))) / tot) * ln((length(t) - length(replace(t, 'e', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'f', '')) THEN ((length(t) - length(replace(t, 'f', ''))) / tot) * ln((length(t) - length(replace(t, 'f', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'g', '')) THEN ((length(t) - length(replace(t, 'g', ''))) / tot) * ln((length(t) - length(replace(t, 'g', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'h', '')) THEN ((length(t) - length(replace(t, 'h', ''))) / tot) * ln((length(t) - length(replace(t, 'h', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'i', '')) THEN ((length(t) - length(replace(t, 'i', ''))) / tot) * ln((length(t) - length(replace(t, 'i', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'j', '')) THEN ((length(t) - length(replace(t, 'j', ''))) / tot) * ln((length(t) - length(replace(t, 'j', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'k', '')) THEN ((length(t) - length(replace(t, 'k', ''))) / tot) * ln((length(t) - length(replace(t, 'k', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'l', '')) THEN ((length(t) - length(replace(t, 'l', ''))) / tot) * ln((length(t) - length(replace(t, 'l', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'm', '')) THEN ((length(t) - length(replace(t, 'm', ''))) / tot) * ln((length(t) - length(replace(t, 'm', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'n', '')) THEN ((length(t) - length(replace(t, 'n', ''))) / tot) * ln((length(t) - length(replace(t, 'n', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'o', '')) THEN ((length(t) - length(replace(t, 'o', ''))) / tot) * ln((length(t) - length(replace(t, 'o', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'p', '')) THEN ((length(t) - length(replace(t, 'p', ''))) / tot) * ln((length(t) - length(replace(t, 'p', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'q', '')) THEN ((length(t) - length(replace(t, 'q', ''))) / tot) * ln((length(t) - length(replace(t, 'q', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'r', '')) THEN ((length(t) - length(replace(t, 'r', ''))) / tot) * ln((length(t) - length(replace(t, 'r', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 's', '')) THEN ((length(t) - length(replace(t, 's', ''))) / tot) * ln((length(t) - length(replace(t, 's', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 't', '')) THEN ((length(t) - length(replace(t, 't', ''))) / tot) * ln((length(t) - length(replace(t, 't', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'u', '')) THEN ((length(t) - length(replace(t, 'u', ''))) / tot) * ln((length(t) - length(replace(t, 'u', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'v', '')) THEN ((length(t) - length(replace(t, 'v', ''))) / tot) * ln((length(t) - length(replace(t, 'v', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'w', '')) THEN ((length(t) - length(replace(t, 'w', ''))) / tot) * ln((length(t) - length(replace(t, 'w', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'x', '')) THEN ((length(t) - length(replace(t, 'x', ''))) / tot) * ln((length(t) - length(replace(t, 'x', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'y', '')) THEN ((length(t) - length(replace(t, 'y', ''))) / tot) * ln((length(t) - length(replace(t, 'y', ''))) / tot) ELSE 0.0 END) + (CASE WHEN length(t) > length(replace(t, 'z', '')) THEN ((length(t) - length(replace(t, 'z', ''))) / tot) * ln((length(t) - length(replace(t, 'z', ''))) / tot) ELSE 0.0 END)) / ln(2), 6) + 0.0 END AS entropy_bits
+    FROM q
+"""
+
+
+@register(
+    "text_char_entropy",
+    _ENTROPY_ORACLE,
+    doc="character-entropy quality signal: fixed-alphabet, map-only, zero explode",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the letter distribution per document —
+    a cheap perplexity proxy for corpus quality filtering (gibberish
+    and boilerplate sit at the entropy extremes).
+
+    Scale shape: for a FIXED alphabet, per-char counts are 26
+    length-difference expressions — no per-char explode (which would
+    multiply 100 TB of text into rows), no shuffle. The counts fold
+    through higher-order array lambdas over NAMED intermediate columns
+    (each count referenced 3x, so CollapseProject keeps them
+    materialized) — inlining all 26 terms flat blows the 64 KB
+    whole-stage-codegen method limit and silently falls back to
+    interpreted eval. The left fold visits terms in the oracle's
+    textual order, so the double arithmetic is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    alpha = F.array(*[F.lit(c) for c in "abcdefghijklmnopqrstuvwxyz"])
+    counts = F.transform(
+        alpha,
+        lambda ch: (F.length(t) - F.length(F.replace(t, ch, F.lit("")))).cast(
+            "double"
+        ),
+    )
+    d = docs.select("doc_id", counts.alias("counts")).select(
+        "doc_id",
+        "counts",
+        F.aggregate("counts", F.lit(0.0), lambda a, x: a + x).alias("tot"),
+    )
+    tot = F.col("tot")
+    terms = F.aggregate(
+        "counts",
+        F.lit(0.0),
+        lambda a, n: a
+        + F.when(n > 0, (n / tot) * F.log(n / tot)).otherwise(F.lit(0.0)),
+    )
+    ent = F.round(-terms / F.log(F.lit(2.0)), 6) + F.lit(0.0)
+    return d.select(
+        "doc_id",
+        F.when(tot == 0, F.lit(0.0)).otherwise(ent).alias("entropy_bits"),
+    )
