@@ -1652,3 +1652,149 @@ def a_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "a_window_value_fns",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="first_value/last_value/nth_value: running vs full frames, one exchange",
+)
+def a_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/nth use the default running frame (null until the nth row
+    arrives); last_value needs the explicit full frame — with the
+    default frame it degenerates to 'current row' in BOTH engines, a
+    classic silent bug. All three share one hash exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    run = Window.partitionBy("o_custkey").orderBy(*order)
+    full = run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(run).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(run).alias("third_price"),
+    )
+
+
+@register(
+    "a_locf_fill",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN value < 5 THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+    doc="LOCF forward-fill: last_value IGNORE NULLS running frame (timeseries gap fill)",
+)
+def a_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward — the streaming-friendly gap
+    fill (running frame: O(1) state, never looks ahead). Nulls are
+    synthesized from small values so the fill path is actually
+    exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 5, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@register(
+    "a_string_agg",
+    """
+    SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name ASC) AS names
+    FROM customer WHERE c_custkey % 40 = 0
+    GROUP BY c_nationkey
+    """,
+    doc="ordered string aggregation (listagg): sort-then-join for deterministic output",
+)
+def a_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list order is nondeterministic under distributed
+    partials — ALWAYS sort before joining (the ORDER BY inside the
+    oracle's string_agg is the same contract). Bounded groups only."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 40 == 0)
+    return cu.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@register(
+    "f_regex_suite",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '^(\w+)#(\d+)$', '\2#\1') AS swapped,
+           regexp_extract(c_name, '(\d+)', 1) AS digits,
+           regexp_matches(c_name, '\d{3}') AS has_3digits
+    FROM customer WHERE c_custkey % 15 = 0
+    """,
+    doc="regex breadth: capture-group backrefs, group extract, boolean match",
+)
+def f_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same regexes, engine-native backref syntax ($n Java / \\n RE2)
+    — the portable subset. All codegen'd, no Python."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 15 == 0)
+    return cu.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"^(\w+)#(\d+)$", r"$2#$1").alias("swapped"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.col("c_name").rlike(r"\d{3}").alias("has_3digits"),
+    )
+
+
+@register(
+    "f_math_suite",
+    """
+    SELECT o_orderkey,
+           ROUND(sqrt(o_totalprice), 6) AS sq,
+           ROUND(ln(o_totalprice), 6) AS lg,
+           ROUND(log10(o_totalprice), 6) AS l10,
+           ROUND(exp(o_totalprice / 100000), 6) AS ex,
+           ROUND(pow(o_totalprice, 0.5), 6) AS pw,
+           abs(o_totalprice * -1) AS ab,
+           CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sg,
+           mod(o_orderkey, 97) AS md,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    doc="math scalar breadth: libm functions rounded to 6dp (ulp-portable), exact int ops raw",
+)
+def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt is IEEE-exact; ln/log10/exp/pow may differ by an ulp
+    between JVM and C libm, so they round to 6dp. ceil/floor/mod/abs
+    are exact and compare raw."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.sqrt(tp), 6).alias("sq"),
+        F.round(F.log(tp), 6).alias("lg"),
+        F.round(F.log10(tp), 6).alias("l10"),
+        F.round(F.exp(tp / 100000), 6).alias("ex"),
+        F.round(F.pow(tp, 0.5), 6).alias("pw"),
+        F.abs(tp * -1).alias("ab"),
+        F.signum(tp - 250000).alias("sg"),
+        (F.col("o_orderkey") % 97).alias("md"),
+        F.ceil(tp).alias("ce"),
+        F.floor(tp).alias("fl"),
+    )

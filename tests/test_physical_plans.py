@@ -151,3 +151,22 @@ def test_fuzzy_levenshtein_broadcast_not_shuffle(spark):
     # shuffled cartesian
     plan = _simple(spark, "f_fuzzy_levenshtein")
     assert "BroadcastNestedLoop" in plan and "CartesianProduct" not in plan
+
+
+def test_char_entropy_map_only_and_compiles(spark):
+    # fixed-alphabet entropy: no shuffle, no Python, and the fold stays
+    # under the codegen method limit (a flat 26-term expression doesn't)
+    plan = _simple(spark, "text_char_entropy")
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_multi_distinct_single_expand(spark):
+    # N COUNT(DISTINCT) columns -> ONE Expand pass, not N scans
+    plan = _simple(spark, "a_multi_distinct")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q18_semi_join_for_having_in(spark):
+    plan = _simple(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
