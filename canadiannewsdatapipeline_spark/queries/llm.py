@@ -802,3 +802,62 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(tot == 0, F.lit(0.0)).otherwise(ent).alias("entropy_bits"),
     )
+
+
+@register(
+    "f_json_path_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events WHERE event_id % 10 = 0
+    """,
+    doc="JSON path ops: typed extract, string extract, existence probe",
+)
+def f_json_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction — schema-on-read for
+    semi-structured props columns; for hot paths with a known schema,
+    from_json into a struct once beats repeated path probes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+@register(
+    "sketch_hash_sample_quantiles",
+    """
+    WITH s AS (
+      SELECT o_totalprice FROM orders
+      WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 10
+    )
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM s
+    """,
+    doc="deterministic hash-sample quantiles: bounded-memory approximate percentiles, reproducible on any engine",
+)
+def sketch_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles the reproducible way: a deterministic
+    md5-bucket sample (same 10% on every engine/run — unlike
+    approx_percentile, whose sketch is engine-specific) then exact
+    interpolated percentiles on the bounded sample. At 100 TB the
+    sample keeps the final sort at 1/10th scale with ~1% quantile
+    error; tighten/loosen via the bucket threshold."""
+    from ..operators.training import _hash_pct
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.filter(_hash_pct(F.col("o_orderkey")) < 10)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
