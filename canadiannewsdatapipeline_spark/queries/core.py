@@ -1866,3 +1866,68 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@register(
+    "f_conditional_suite",
+    """
+    SELECT o_orderkey,
+           greatest(o_totalprice, 250000.0) AS hi,
+           least(o_totalprice, 250000.0) AS lo,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice > 400000 THEN 'XL'
+                WHEN o_totalprice > 200000 THEN 'L'
+                ELSE 'S' END AS size_class
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+    doc="conditional scalar breadth: greatest/least/nullif/coalesce/searched CASE",
+)
+def f_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 30 == 0)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("lo"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_totalprice") > 400000, "XL")
+        .when(F.col("o_totalprice") > 200000, "L")
+        .otherwise("S")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "a_sliding_rows_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS avg_last3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="sliding ROWS-frame moving average over the last 3 orders (exact decimal sum / count)",
+)
+def a_sliding_rows_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames need the total-order tiebreaker (o_orderkey) —
+    unlike RANGE frames, peers are NOT equivalent, so an ambiguous sort
+    silently reshuffles which rows share a frame. Decimal-sum/count
+    instead of native avg keeps the division engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(_dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("avg_last3"),
+    )
