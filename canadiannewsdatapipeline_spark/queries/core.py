@@ -1931,3 +1931,30 @@ def a_sliding_rows_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_last3"),
     )
+
+
+@register(
+    "a_null_ordering",
+    """
+    SELECT event_id, user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY v ASC NULLS LAST, event_id ASC) AS rn
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN value < 5 THEN NULL ELSE value END AS v
+          FROM events)
+    WHERE user_id % 10 = 0
+    """,
+    doc="explicit null ordering: Spark defaults NULLS FIRST asc, DuckDB NULLS LAST - always say which",
+)
+def a_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engines disagree on DEFAULT null placement in ASC sorts (Spark:
+    first, DuckDB/Postgres: last) — any window ordering over a nullable
+    key must spell it out or row numbering silently diverges."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    v = F.when(F.col("value") < 5, F.lit(None)).otherwise(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").asc_nulls_last(), F.col("event_id").asc()
+    )
+    return ev.select("event_id", "user_id", v.alias("v")).withColumn(
+        "rn", F.row_number().over(w)
+    )
