@@ -42,9 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
             # integer DIV: float division would lose precision on e18-scale longs
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+        elif dt == "timestamp_ntz":
+            # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ in
+            # Spark 4; with the session TZ pinned to UTC this cast keeps the
+            # wall-clock instant and restores epoch functions (unix_micros
+            # rejects NTZ).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

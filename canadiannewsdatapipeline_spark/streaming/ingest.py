@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _normalize_ts(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Same event-time normalization as sources.registry.load_table:
+    nanosecond longs -> micros timestamp; TIMESTAMP_NTZ -> session-TZ
+    (UTC) timestamp so epoch functions work identically in-stream."""
+    dt = dict(stream.dtypes).get(col)
+    if dt == "bigint":
+        stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream
+
+
 def streaming_file_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -68,8 +80,7 @@ def windowed_event_counts(
     )
     # events.ts arrives as nanosecond longs (see sources.registry);
     # apply the same conversion inside the stream.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _normalize_ts(stream)
     agg = (
         stream.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -109,8 +120,7 @@ def stream_static_enrich(
     stream = spark.readStream.schema(events.schema).parquet(
         events.inputFiles()[0].rsplit("/", 1)[0]
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _normalize_ts(stream)
     agg = (
         stream.join(F.broadcast(dim), join_expr(stream, dim))
         .groupBy(F.window("ts", window).alias("w"), F.col(segment_col))

@@ -34,9 +34,9 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", base)
         events_path = d
     stream = reader.parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    from .ingest import _normalize_ts
+
+    return _normalize_ts(stream)
 
 
 def click_purchase_join(
