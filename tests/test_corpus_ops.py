@@ -132,3 +132,21 @@ def test_normalized_unit_norm(spark):
     got = {r["id"]: r["unit"] for r in normalized(df, "vec_id", "embedding").collect()}
     assert got[1] == pytest.approx([0.6, 0.8])
     assert got[2] == [0.0, 0.0]
+
+
+def test_lsh_verify_strategies_equivalent(spark):
+    # the array (collect_set + array_intersect) and join ((id, h)
+    # equi-join) verify paths must produce identical verified pairs
+    from canadiannewsdatapipeline_spark.operators.dedup import lsh_verified_pairs
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    arr = lsh_verified_pairs(
+        docs, "text", "doc_id", threshold=0.5, verify_strategy="array"
+    )
+    join = lsh_verified_pairs(
+        docs, "text", "doc_id", threshold=0.5, verify_strategy="join"
+    )
+    ra = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in arr.collect()}
+    rj = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in join.collect()}
+    assert ra == rj and len(ra) > 0
