@@ -16,5 +16,6 @@ from . import training  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import history  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query_map", "oracle_sql_map"]

@@ -1,0 +1,199 @@
+"""Robust statistics and time-series repair queries.
+
+Extends the aggregate family (SURVEY.md §2.6) with the shapes a
+corpus-curation / metrics pipeline reaches for next: robust outlier
+stats (MAD), gap repair by linear interpolation (the step past LOCF),
+and per-stratum deterministic sampling (engine-portable ``sampleBy``).
+
+Determinism rules: medians are exact interpolated percentiles over
+the same multiset (identical IEEE interpolation on both engines);
+interpolation fractions are computed from exact integer epoch-micros;
+every float output is rounded before comparison thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import register
+
+
+@register(
+    "a_mad_robust",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev, m.med
+      FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(ANY_VALUE(med), 6) AS median_price,
+           ROUND(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev GROUP BY l_returnflag
+    """,
+    doc="median absolute deviation per group: two-phase decorrelated robust stats",
+)
+def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD = median(|x - median(x)|) per group — the robust spread
+    stat quality pipelines use where stddev is outlier-poisoned. The
+    correlated inner median decorrelates into a per-group aggregate
+    broadcast back onto the fact rows; two shuffles total (group sizes
+    are bounded by the flag cardinality, so the second agg is tiny).
+    Exact interpolated percentiles, identical IEEE math both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("m_flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(
+        F.broadcast(med), F.col("m_flag") == F.col("l_returnflag")
+    ).select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.round(F.first("med"), 6).alias("median_price"),
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+    )
+
+
+@register(
+    "a_linear_interpolate",
+    """
+    WITH masked AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    nb AS (
+      SELECT user_id, event_id, ts, t, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(t IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(t IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM masked
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+               THEN pv + (nv - pv) * ((t - pt) / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 6) AS v_filled,
+           v IS NULL AS was_interpolated
+    FROM nb
+    """,
+    doc="linear interpolation of missing values between neighbors (time-weighted; LOCF at edges)",
+)
+def a_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair one step past LOCF: a masked value is rebuilt from
+    its nearest non-null neighbors, weighted by exact integer
+    epoch-micro distance. Both IGNORE NULLS scans share one hash
+    exchange on user_id (same partitioning, forward frame is the
+    reversed cumulative window). Edge gaps fall back to the single
+    available side."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nb = masked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last("t", ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("t", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") != F.col("pt")),
+            interp,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return nb.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(filled, 6).alias("v_filled"),
+        F.col("v").isNull().alias("was_interpolated"),
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    """
+    WITH s AS (
+      SELECT event_type, value
+      FROM events
+      WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100
+            < CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 10
+                              WHEN 'purchase' THEN 50 WHEN 'signup' THEN 50
+                              ELSE 25 END
+    )
+    SELECT event_type, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY event_type
+    """,
+    doc="deterministic stratified sampling: per-stratum md5-bucket fractions (portable sampleBy)",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sampleBy`` with a seed is engine-private; hashing the row key
+    into 100 buckets gives per-stratum fractions that reproduce on any
+    engine and any partitioning — the down-sampling rule a training
+    pipeline must be able to replay years later. High-volume strata
+    (click/view) keep 10%, rare ones 50%. Map-only filter + one
+    grouped aggregation."""
+    from ..operators.training import _hash_pct
+
+    ev = load_table(spark, sf_dir, "events")
+    pct = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit(10))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    s = ev.filter(_hash_pct(F.col("event_id")) < pct)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
