@@ -22,6 +22,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class _state_partitions:
+    """Scope `spark.sql.shuffle.partitions` around a streaming start.
+
+    A stateful streaming agg creates one state-store instance PER
+    shuffle partition PER micro-batch; inheriting the batch-wide
+    setting (sized for fact-table shuffles) multiplies fixed state
+    overhead for aggregates whose key cardinality is tiny. Size this
+    to the expected state volume — a few thousand window x key groups
+    need single-digit partitions; high-cardinality keyed state scales
+    it up. The partition count is baked into the checkpoint at first
+    start, so pick it per stream, not per session (restoring the old
+    value afterwards keeps batch plans untouched)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _normalize_ts(stream: DataFrame, col: str = "ts") -> DataFrame:
     """Same event-time normalization as sources.registry.load_table:
     nanosecond longs -> micros timestamp; TIMESTAMP_NTZ -> session-TZ
@@ -66,14 +90,19 @@ def streaming_file_ingest(
 
 
 def windowed_event_counts(
-    spark: SparkSession, events: DataFrame, window: str = "1 hour"
+    spark: SparkSession,
+    events: DataFrame,
+    window: str = "1 hour",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Tumbling-window count + exact-decimal sum per event_type,
     executed by the streaming engine (AvailableNow over the same
     parquet, complete-mode memory sink) and returned as a batch frame.
 
     The decimal sum keeps the aggregate engine-exact (same rule as the
-    batch corpus)."""
+    batch corpus). ``state_partitions`` sizes the state store to the
+    aggregate's key cardinality (hours x event types), not the batch
+    shuffle width — see ``_state_partitions``."""
     sink = f"wec_{uuid.uuid4().hex[:12]}"
     stream = spark.readStream.schema(events.schema).parquet(
         events.inputFiles()[0].rsplit("/", 1)[0]
@@ -89,14 +118,15 @@ def windowed_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
-    (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _state_partitions(spark, state_partitions):
+        (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink)
 
 
@@ -107,6 +137,7 @@ def stream_static_enrich(
     join_expr,
     segment_col: str,
     window: str = "1 hour",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Stream-static join + tumbling agg: each micro-batch joins the
     static dimension (broadcast — the dim is re-read per batch, so keep
@@ -135,14 +166,15 @@ def stream_static_enrich(
             "total_value",
         )
     )
-    (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _state_partitions(spark, state_partitions):
+        (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink)
 
 

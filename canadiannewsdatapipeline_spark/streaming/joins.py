@@ -68,7 +68,10 @@ def click_purchase_join(
 
 
 def stream_stream_click_purchase(
-    spark: SparkSession, events_path: str, within_minutes: int = 30
+    spark: SparkSession,
+    events_path: str,
+    within_minutes: int = 30,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run the click->purchase range join as a true stream-stream join
     (AvailableNow over the events parquet, both sides watermarked) and
@@ -83,12 +86,17 @@ def stream_stream_click_purchase(
     clicks = s.filter(F.col("event_type") == "click").withWatermark("ts", "1 hour")
     purchases = s.filter(F.col("event_type") == "purchase").withWatermark("ts", "1 hour")
     out = click_purchase_join(clicks, purchases, within_minutes)
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from .ingest import _state_partitions
+
+    # join state is keyed by user_id — size the state store to that
+    # cardinality, not the batch shuffle width (see ingest.py)
+    with _state_partitions(spark, state_partitions):
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink)
