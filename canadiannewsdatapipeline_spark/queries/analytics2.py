@@ -197,3 +197,96 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "a_partial_reaggregation",
+    """
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="re-aggregation algebra: monthly rollup computed FROM daily partials (== direct monthly agg)",
+)
+def a_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance invariant: a coarse aggregate
+    rebuilt from pre-aggregated partials (sum-of-sums, min-of-mins,
+    count-of-counts) must equal the direct aggregate — the oracle IS
+    the direct form. This is how 100 TB rollups actually run: the
+    daily partial is tiny and incremental, and month/quarter/year
+    views re-aggregate partials instead of rescanning the fact table.
+    DECIMAL partial sums make the regroup exact under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("pv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "day").alias("month"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
+
+
+@register(
+    "profile_table_stats",
+    """
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    """,
+    doc="column profiling: rows/nulls/ndv/min/max per column (the ANALYZE/data-quality primitive)",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling scan every ingestion job runs before trusting a
+    feed. All three column profiles reduce in ONE pass over the table
+    (a single multi-aggregate), then unpivot locally — not one scan
+    per column as the SQL UNION suggests (the oracle's 3 scans are
+    semantically equal; Spark's plan is the efficient one). Exact
+    COUNT(DISTINCT) per column shares the aggregate via Expand."""
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in ("o_orderkey", "o_custkey", "o_totalprice")
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_ndv"),
+                F.min(F.col(c).cast("double")).alias(f"{c}_min"),
+                F.max(F.col(c).cast("double")).alias(f"{c}_max"),
+            )
+        ],
+    )
+    stacked = ", ".join(
+        f"'{c}', n_rows, {c}_nulls, {c}_ndv, {c}_min, {c}_max"
+        for c in ("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return prof.select(
+        F.expr(
+            f"stack(3, {stacked}) AS (col, n_rows, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
