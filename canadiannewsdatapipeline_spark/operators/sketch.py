@@ -60,3 +60,48 @@ def kmv_distinct(
             .alias("kmv_est"),
         )
     )
+
+
+def kmv_merged_global(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Global KMV estimate computed by MERGING per-group sketches —
+    the mergeability property that makes KMV (like HLL) usable as a
+    distributed partial aggregate.
+
+    Each group keeps its k smallest distinct hashes; the merge is the
+    k smallest of the union of kept sets. Because every one of the
+    global k minima is necessarily within its own group's k minima,
+    the merged sketch is IDENTICAL to the sketch built directly over
+    the full stream — the differential oracle checks that invariant
+    exactly (not approximately). At scale this is two bounded
+    shuffles: per-group top-k, then a union whose size is
+    (#groups x k) rows, never the raw data."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_DOMAIN)
+    )
+    per = df.select(F.col(group_col).alias("g"), u.alias("u")).distinct()
+    wg = Window.partitionBy("g").orderBy(F.col("u").asc())
+    kept = per.select("g", "u", F.row_number().over(wg).alias("r")).filter(
+        F.col("r") <= k
+    )
+    # merge: k smallest of the union of per-group keeps (dedup u across
+    # groups — the same value in two groups is one distinct element)
+    # global k-minimum via sort+limit over the (#groups x k)-row union —
+    # TakeOrderedAndProject, not a single-partition window
+    merged = kept.select("u").distinct().orderBy(F.col("u").asc()).limit(k)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("u").alias("mx"),
+    ).select(
+        "n_kept",
+        F.round(
+            F.when(F.col("n_kept") == k, F.col("mx")).otherwise(F.lit(0.0)), 10
+        ).alias("u_k"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1)) / F.col("mx"), 4))
+        .alias("kmv_est"),
+    )

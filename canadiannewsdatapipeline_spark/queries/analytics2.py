@@ -290,3 +290,119 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(3, {stacked}) AS (col, n_rows, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+@register(
+    "snapshot_diff_customers",
+    """
+    WITH newsnap AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500 ELSE c_acctbal END
+               AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 2000000, 'SNAP-' || c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM customer o
+    FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name <> n.c_name OR o.c_nationkey <> n.c_nationkey
+       OR o.c_acctbal <> n.c_acctbal OR o.c_mktsegment <> n.c_mktsegment
+    """,
+    doc="snapshot diff: derive an I/U/D change feed from two full snapshots (CDC without a log)",
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse of CDC-apply: two full snapshots in, a change feed
+    out (insert / update / delete per key) — how pipelines bootstrap
+    CDC from sources that only publish full dumps. One full-outer
+    shuffle join on the key; the attribute comparison filters
+    unchanged keys so the output is change-sized, not table-sized.
+    The 'new' snapshot derives deterministically from the old (every
+    13th key deleted, 7th updated, 101st re-inserted shifted)."""
+    cu = load_table(spark, sf_dir, "customer")
+    new = (
+        cu.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 500
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cu.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"),
+                F.concat(F.lit("SNAP-"), F.col("c_name")).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    o = cu.alias("o")
+    n = new.alias("n")
+    changed = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.c_name") != F.col("n.c_name"))
+        | (F.col("o.c_nationkey") != F.col("n.c_nationkey"))
+        | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+        | (F.col("o.c_mktsegment") != F.col("n.c_mktsegment"))
+    )
+    op = (
+        F.when(F.col("o.c_custkey").isNull(), F.lit("I"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+        .filter(changed)
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+            op.alias("op"),
+        )
+    )
+
+
+@register(
+    "a_ratio_ntile",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                 OVER (PARTITION BY c_mktsegment) AS DOUBLE), 10)
+             AS share_of_segment,
+           ntile(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+    FROM customer WHERE c_acctbal > 0
+    """,
+    doc="ratio-to-report + NTILE decile binning per segment (one shared exchange)",
+)
+def a_ratio_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total and equal-frequency decile per segment — the
+    feature-binning pair. The denominator is an exact DECIMAL sum over
+    the segment partition (double partition sums drift with
+    partitioning); ntile needs the total-order tiebreak to be
+    deterministic. Both windows partition by segment, so Catalyst
+    plans ONE hash exchange."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    seg = Window.partitionBy("c_mktsegment")
+    ord_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    share = F.round(
+        F.col("c_acctbal")
+        / F.sum(F.col("c_acctbal").cast("decimal(12,2)")).over(seg).cast("double"),
+        10,
+    )
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        share.alias("share_of_segment"),
+        F.ntile(10).over(ord_w).alias("decile"),
+    )

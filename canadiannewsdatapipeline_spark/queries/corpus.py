@@ -397,3 +397,32 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "event_type", "user_id", k=64).select(
         "event_type", "n_kept", "u_k", "kmv_est"
     )
+
+
+@register(
+    "sketch_kmv_merge",
+    """
+    WITH per AS (
+      SELECT DISTINCT
+             CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM events
+    ),
+    ranked AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u ASC) AS r FROM per)
+    SELECT COUNT(*) AS n_kept,
+           ROUND(COALESCE(MAX(CASE WHEN r = 64 THEN u END), 0.0), 10) AS u_k,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ROUND(63.0 / MAX(CASE WHEN r = 64 THEN u END), 4) END AS kmv_est
+    FROM ranked WHERE r <= 64
+    """,
+    doc="KMV sketch mergeability: union of per-group sketches == sketch of the union (checked exactly)",
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle builds the global sketch DIRECTLY; the Spark side
+    builds per-event-type sketches and merges them — the algebraic
+    identity that lets KMV run as a two-level distributed aggregate
+    (map-side partials, bounded merge) must hold bit-for-bit."""
+    from ..operators.sketch import kmv_merged_global
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_merged_global(ev, "event_type", "user_id", k=64)
