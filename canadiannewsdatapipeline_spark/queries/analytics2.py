@@ -406,3 +406,107 @@ def a_ratio_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share_of_segment"),
         F.ntile(10).over(ord_w).alias("decile"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+    ),
+    ret AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+           ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention_rate
+    FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+    doc="cohort retention: first-seen week cohorts x weekly activity, rate per offset",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: users grouped by first-seen week,
+    retention = share still active N weeks later. Three aggregates and
+    two joins, all hash-partitioned on user_id / cohort_week — the
+    cohort and activity frames are both user-cardinality (small
+    relative to events), so at scale only the two DISTINCT/MIN passes
+    scan the fact table. One IEEE division at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohorts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )
+
+
+@register(
+    "j_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer
+    ),
+    b AS (
+      SELECT NULLIF(n_nationkey % 5, 0) AS grp, COUNT(*) AS n_nations
+      FROM nation GROUP BY 1
+    )
+    SELECT a.grp, COUNT(*) AS n_customers, ANY_VALUE(b.n_nations) AS n_nations
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY a.grp
+    """,
+    doc="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match each other",
+)
+def j_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equality drops NULL keys from an inner join; the
+    null-safe operator keeps the NULL<=>NULL group — the behavior a
+    dimension join needs when 'unknown' is a real category. Spark
+    plans eqNullSafe as a hash join key (coalesced), NOT a nested
+    loop, so it scales like any equi-join."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
+    )
+    na = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    return (
+        cu.join(na.withColumnRenamed("grp", "b_grp"), cu.grp.eqNullSafe(F.col("b_grp")))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.first("n_nations").alias("n_nations"),
+        )
+    )
