@@ -510,3 +510,40 @@ def j_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_nations").alias("n_nations"),
         )
     )
+
+
+@register(
+    "f_map_ops",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS props
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey,
+           props['status'][1] AS status,
+           props['priority'][1] AS priority,
+           CAST(cardinality(props) AS INTEGER) AS n_keys,
+           array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted
+    FROM m
+    """,
+    doc="map column ops: construct, extract by key, cardinality, sorted key list",
+)
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map columns carry sparse per-row attributes without schema
+    evolution (the props pattern). Construction and key extraction
+    are map-only codegen expressions; keys are sorted before joining
+    because map iteration order is engine-private — never compare raw
+    map renderings across engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "priority").alias("priority"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )

@@ -69,3 +69,39 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruningexpression" in pf
     want = orders.filter(F.col("order_month").substr(6, 2) == "06").count()
     assert want > 0 and joined.count() == want
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    # incremental backfill contract: overwriting with one partition's
+    # data must replace ONLY that partition, not truncate the table
+    import pyspark.sql.functions as F
+
+    target = str(tmp_path / "dpo")
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+             ("2024-01-02", 3, 30.0)],
+            "day string, id int, v double",
+        )
+        base.write.partitionBy("day").mode("overwrite").parquet(target)
+        # re-run day 2 only, with corrected values
+        fix = spark.createDataFrame(
+            [("2024-01-02", 3, 99.0), ("2024-01-02", 4, 40.0)],
+            "day string, id int, v double",
+        )
+        fix.write.partitionBy("day").mode("overwrite").parquet(target)
+        # partition-column directory values type-infer to DATE on read
+        got = {
+            (str(r.day), r.id, r.v) for r in spark.read.parquet(target).collect()
+        }
+        assert got == {
+            ("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+            ("2024-01-02", 3, 99.0), ("2024-01-02", 4, 40.0),
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
