@@ -547,3 +547,96 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@register(
+    "f_timezone_suite",
+    """
+    SELECT event_id,
+           CAST(timezone('America/Toronto', timezone('UTC', ts)) AS TIMESTAMP)
+             AS ts_toronto,
+           CAST(timezone('UTC', timezone('America/Toronto', ts)) AS TIMESTAMP)
+             AS ts_as_if_toronto_utc,
+           CAST(EXTRACT(hour FROM timezone('America/Toronto', timezone('UTC', ts)))
+             AS INTEGER) AS local_hour
+    FROM events WHERE event_id % 25 = 0
+    """,
+    doc="timezone conversion both directions (UTC<->America/Toronto), session-TZ-independent",
+)
+def f_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference normalizes scraped Canadian timestamps to UTC
+    (get_news.py:275) and dashboards re-localize for display; both
+    directions via IANA rules. The oracle nests timezone() twice so
+    neither side depends on the session timezone — the absolute
+    instant is pinned by the inner call. January data = EST, no DST
+    edge in-corpus (the IANA tables handle it identically if present)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "America/Toronto").alias("ts_toronto"),
+        F.to_utc_timestamp("ts", "America/Toronto").alias("ts_as_if_toronto_utc"),
+        F.hour(F.from_utc_timestamp("ts", "America/Toronto"))
+        .cast("int")
+        .alias("local_hour"),
+    )
+
+
+@register(
+    "a_period_over_period",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT day, total,
+           lag(total) OVER (ORDER BY day ASC) AS prev_total,
+           ROUND((total - lag(total) OVER (ORDER BY day ASC))
+                 / lag(total) OVER (ORDER BY day ASC) * 100, 6) AS pct_change
+    FROM daily
+    """,
+    doc="period-over-period: daily totals + lag-based percent change (dashboard staple)",
+)
+def a_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas: one fact aggregation, then a lag window
+    over the DAY-cardinality frame — the unpartitioned window is safe
+    because its input is already reduced to one row per day (bounded),
+    never the fact table. Exact-decimal daily totals make the ratio
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "day",
+        "total",
+        prev.alias("prev_total"),
+        F.round((F.col("total") - prev) / prev * 100, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "j_right_outer_nulls",
+    """
+    SELECT n.n_nationkey, n.n_name, c.c_custkey
+    FROM customer c
+    RIGHT JOIN nation n
+      ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9990
+    """,
+    doc="right outer join: preserved side keeps unmatched keys with NULL probe columns",
+)
+def j_right_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the join-type matrix (inner/left/full/semi/anti/cross
+    elsewhere): the selective pre-join condition on the probe side
+    leaves most nations unmatched, which must surface as NULL
+    c_custkey rows — the asymmetry that distinguishes the ON-clause
+    filter from a WHERE (which would drop them)."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return cu.join(
+        na,
+        (cu.c_nationkey == na.n_nationkey) & (cu.c_acctbal > 9990),
+        "right_outer",
+    ).select("n_nationkey", "n_name", "c_custkey")
