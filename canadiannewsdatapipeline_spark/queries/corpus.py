@@ -426,3 +426,93 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_merged_global(ev, "event_type", "user_id", k=64)
+
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_WORDS = ("scan", "window", "join", "merge", "shuffle")
+
+
+def _cms_bucket_sql(d: str, tok: str) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({d} AS VARCHAR) || ':' || {tok}), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W} AS INTEGER)"
+    )
+
+
+@register(
+    "sketch_cms_wordcounts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tagged AS (
+      SELECT d.d, {_cms_bucket_sql('d.d', 'tok')} AS bucket
+      FROM toks, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+    ),
+    counters AS (
+      SELECT d, bucket, COUNT(*) AS c FROM tagged GROUP BY d, bucket
+    ),
+    queries AS (
+      SELECT w.w, d.d, {_cms_bucket_sql('d.d', 'w.w')} AS bucket
+      FROM (SELECT unnest({list(_CMS_WORDS)}) AS w) w,
+           (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+    ),
+    est AS (
+      SELECT q.w AS word, MIN(c.c) AS cms_est
+      FROM queries q JOIN counters c ON c.d = q.d AND c.bucket = q.bucket
+      GROUP BY q.w
+    ),
+    exact AS (
+      SELECT tok AS word, COUNT(*) AS exact_count FROM toks
+      WHERE tok IN {_CMS_WORDS} GROUP BY tok
+    )
+    SELECT e.word, x.exact_count, e.cms_est
+    FROM est e JOIN exact x ON x.word = e.word
+    """,
+    doc="count-min sketch word counts: d x w integer counters, min-over-rows estimate vs exact",
+)
+def sketch_cms_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the bounded-memory frequency sketch
+    (d=4 x w=256 integer counters regardless of vocabulary size),
+    md5-bucketed so both engines build bit-identical counters and the
+    estimate itself hash-checks. The d-row tagging rides the SAME
+    token explode (stack fan-out, no re-scan); counters are one
+    map-side-combined shuffle of (d, bucket) pairs. CMS guarantees
+    estimate >= exact; collisions only inflate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok")
+    )
+    def bucket(d, tok):
+        key = F.concat(d.cast("string"), F.lit(":"), tok)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % _CMS_W
+        ).cast("int")
+
+    tagged = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), bucket(F.lit(d), F.col("tok")).alias("bucket"))
+                for d in range(_CMS_D)
+            ])
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    counters = tagged.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    queries = spark.createDataFrame(
+        [(w, d) for w in _CMS_WORDS for d in range(_CMS_D)], "w string, d int"
+    ).withColumn("bucket", bucket(F.col("d"), F.col("w")).alias("bucket"))
+    est = (
+        queries.join(counters, ["d", "bucket"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(*_CMS_WORDS))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "word").select("word", "exact_count", "cms_est")

@@ -861,3 +861,67 @@ def sketch_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+_PROJ_OUT = 8
+
+
+@register(
+    "emb_project_matmul",
+    f"""
+    WITH w AS (
+      SELECT i.i, j.j,
+             CAST((ascii(substr(md5(CAST(i.i AS VARCHAR) || 'x' || CAST(j.j AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS wij
+      FROM (SELECT unnest(generate_series(0, 63)) AS i) i,
+           (SELECT unnest(generate_series(0, {_PROJ_OUT - 1})) AS j) j
+    )
+    SELECT e.vec_id, CAST(w.j AS INTEGER) AS j,
+           ROUND(SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wij), 6) + 0.0 AS out_val
+    FROM embeddings e, w
+    WHERE e.vec_id % 10 = 0
+    GROUP BY e.vec_id, w.j
+    """,
+    doc="dense matrix projection (64->8) as higher-order array fold — batch scoring without a UDF",
+)
+def emb_project_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear projection of every embedding through a deterministic
+    md5-derived 64x8 weight matrix — the batch-scoring primitive
+    (logistic head, PCA transform, random projection) expressed as
+    zip_with + sequential fold per output dim: pure codegen, zero
+    Python, zero shuffle (map-only until the optional regroup). The
+    fold visits i ascending — the same order as the oracle's
+    generate_series SUM, so the double arithmetic is bit-identical
+    (same rule as the cosine family). Weights are constant-folded by
+    Catalyst; at 100 TB the weight matrix would broadcast instead.
+    ``+ 0.0`` normalizes IEEE -0.0."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def w_col(j: int):
+        # mirror of the oracle's md5 weight derivation (python md5 ==
+        # engine md5 on the same ascii key; values in [-3, 3])
+        vals = [
+            (hashlib.md5(f"{i}x{j}".encode()).hexdigest()[0].encode()[0] % 7) - 3
+            for i in range(64)
+        ]
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    outs = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(e, w_col(j), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            + F.lit(0.0)
+            for j in range(_PROJ_OUT)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(outs).alias("j", "out_val")
+    ).withColumn("j", F.col("j").cast("int"))
