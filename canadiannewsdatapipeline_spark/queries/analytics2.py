@@ -640,3 +640,40 @@ def j_right_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cu.c_nationkey == na.n_nationkey) & (cu.c_acctbal > 9990),
         "right_outer",
     ).select("n_nationkey", "n_name", "c_custkey")
+
+
+@register(
+    "f_array_set_ops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS a,
+             list_distinct(regexp_extract_all(lower(substr(text, 1, 200)), '[a-z]+')) AS b
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS both_,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER)
+             AS only_full,
+           CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS union_size
+    FROM t
+    """,
+    doc="array set algebra: intersect / except / union-distinct (sorted before render)",
+)
+def f_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on array columns — all codegen, no explode: the
+    vocabulary of the 200-char prefix vs the full document. Arrays are
+    sorted before string-rendering because set-op output order is
+    engine-private (same rule as map keys)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = lambda c: F.array_distinct(
+        F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
+    )
+    a = toks(F.col("text"))
+    b = toks(F.substring(F.col("text"), 1, 200))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("both_"),
+        F.size(F.array_except(a, b)).alias("only_full"),
+        F.size(F.array_distinct(F.concat(a, b))).alias("union_size"),
+    )

@@ -516,3 +516,75 @@ def sketch_cms_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     return est.join(exact, "word").select("word", "exact_count", "cms_est")
+
+
+@register(
+    "text_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+      GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON df.tok = tf.tok, n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok ASC) AS rnk
+      FROM scored WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, rnk, tok, tfidf FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF top terms per document: tf x corpus-idf, windowed top-3",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The term-relevance score behind every keyword dashboard
+    (reference: sentiment_dashboard word-frequency panels, upgraded
+    from raw counts). One token explode feeds BOTH the per-doc tf and
+    the corpus df (distinct-pair aggregate); idf joins back on the
+    term key — the df table is vocabulary-sized, broadcast at scale.
+    ln() on one deterministic double ratio, rounded; top-3 per doc via
+    the standard tiebroken window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.count()
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.row_number().over(w).alias("rnk"), "tok", "tfidf")
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tfidf")
+    )
