@@ -677,3 +677,84 @@ def f_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(a, b)).alias("only_full"),
         F.size(F.array_distinct(F.concat(a, b))).alias("union_size"),
     )
+
+
+@register(
+    "j_range_bin_join",
+    """
+    WITH bins AS (
+      SELECT i AS bin_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM (SELECT unnest(generate_series(0, 9)) AS i)
+    )
+    SELECT b.bin_id, b.lo, b.hi, COUNT(e.event_id) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bin_id, b.lo, b.hi
+    """,
+    doc="range-bin join: fact rows matched to a small interval dimension (broadcast nested loop)",
+)
+def j_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning via an interval DIMENSION (not a computed bucket) — the
+    shape you need when bins are irregular or configured at runtime.
+    The bins side is tiny, so the non-equi condition plans as a
+    BroadcastNestedLoopJoin: each fact row tests 10 intervals in the
+    broadcast hash — linear in the fact table, never a shuffled
+    cartesian. With computable bins prefer the arithmetic bucket
+    (doc_length_histogram); this is the general-interval fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = spark.range(10).select(
+        F.col("id").cast("int").alias("bin_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bins),
+            (ev.value >= F.col("lo")) & (ev.value < F.col("hi")),
+        )
+        .groupBy("bin_id", "lo", "hi")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "a_rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d
+    JOIN du u ON u.day >= d.day - INTERVAL 6 DAY AND u.day <= d.day
+    GROUP BY d.day
+    """,
+    doc="rolling 7-day distinct users: day-spine range join over the (day,user) distinct frame",
+)
+def a_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counts do NOT compose across window frames (no
+    partial-merge), so the rolling-unique metric joins the day spine
+    to the per-day distinct pairs within the range and re-counts. The
+    fact table is reduced to |days| x |users| pairs FIRST — at 100 TB
+    the range join runs on that small frame, never on raw events; the
+    spine side broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        du.alias("u")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("users_7d"))
+    )

@@ -588,3 +588,81 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "tfidf")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok.g) AS v
+      FROM toks, unnest(toks.t) AS tok(g)
+    ),
+    uni AS (
+      SELECT tok.g AS w1, COUNT(*) AS c1
+      FROM toks, unnest(toks.t) AS tok(g) GROUP BY 1
+    ),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) g
+      WHERE i <= len(t) - 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(ln((bc.c2 + 1.0) / (uni.c1 + vocab.v)), 9)
+                  AS DECIMAL(18,9)) AS logp
+      FROM bi b
+      JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uni ON uni.w1 = b.w1, vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="corpus bigram LM scoring: add-1-smoothed avg log-prob per doc (perplexity-proxy quality signal)",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-score quality filter real pipelines run (KenLM-style):
+    train bigram counts on the corpus itself, score each document by
+    its average smoothed log-probability — gibberish and boilerplate
+    land in the tails. Train = two grouped counts off one bigram
+    explode; score = join the model back (vocabulary-sized tables,
+    broadcast at scale). Each bigram's log-prob is ROUNDED to 9 dp and
+    summed as exact DECIMAL, so per-doc totals are identical under any
+    partitioning/engine (raw double summation would drift); one IEEE
+    division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("t"),
+    )
+    flat = toks.select("doc_id", F.explode("t").alias("g"))
+    vocab = flat.select("g").distinct().count()
+    uni = flat.groupBy(F.col("g").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.round(
+        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab)))), 9
+    ).cast("decimal(18,9)")
+    scored = bi.join(bc, ["w1", "w2"]).join(uni, "w1").select(
+        "doc_id", logp.alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
