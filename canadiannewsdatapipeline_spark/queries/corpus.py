@@ -569,12 +569,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    n_docs = docs.count()
-    scored = tf.join(df, "tok").select(
+    # corpus size as a 1-row broadcast, not a driver-side count() —
+    # the plan stays fully lazy/distributed
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df, "tok").join(F.broadcast(n_docs)).select(
         "doc_id",
         "tok",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
         ).alias("tfidf"),
     )
     from pyspark.sql import Window
@@ -641,7 +643,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("t"),
     )
     flat = toks.select("doc_id", F.explode("t").alias("g"))
-    vocab = flat.select("g").distinct().count()
+    # vocabulary size as a 1-row broadcast (no driver-side action)
+    vocab = flat.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
     uni = flat.groupBy(F.col("g").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     bi = toks.select(
         "doc_id",
@@ -655,10 +660,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.w1", "p.w2")
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     logp = F.round(
-        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab)))), 9
+        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 9
     ).cast("decimal(18,9)")
-    scored = bi.join(bc, ["w1", "w2"]).join(uni, "w1").select(
-        "doc_id", logp.alias("logp")
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
