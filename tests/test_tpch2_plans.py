@@ -82,3 +82,20 @@ def test_session_window_native_plan(spark):
     plan = _formatted(spark, "events_session_window_native")
     # session windows sort within the user_id exchange; no extra shuffle
     assert _node_count(plan, "Exchange") <= 2
+
+
+def test_range_bin_is_broadcast_nested_loop(spark):
+    plan = _formatted(spark, "j_range_bin_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_scoring_no_python(spark):
+    plan = _formatted(spark, "text_bigram_logprob")
+    assert "Python" not in plan  # pure codegen train + score
+
+
+def test_interpolate_single_exchange(spark):
+    plan = _formatted(spark, "a_linear_interpolate")
+    # both IGNORE NULLS directions share the user_id exchange
+    assert _node_count(plan, "Exchange") == 1
