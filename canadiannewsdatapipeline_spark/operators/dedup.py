@@ -198,9 +198,21 @@ def minhash_lsh_candidates(
     partitioning the join needs — no extra join). Duplicate groups that
     large are still caught by exact dedup on the content hash; LSH only
     needs the *near*-dup tail. Default None = no clamp (exact oracle
-    semantics)."""
+    semantics).
+
+    The per-id signature frame is persisted: both sides of the banding
+    self-join read it, and without the persist Spark recomputes the
+    shingle explode + N-way MIN aggregation once per branch (~2x the
+    query's cost — ReuseExchange does not fire across the stack
+    unpivot)."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = shingle_hash_set(df, text_col, id_col, n)
-    wide = sh.groupBy("id").agg(*[_mh_min(i) for i in range(num_hashes)])
+    wide = (
+        sh.groupBy("id")
+        .agg(*[_mh_min(i) for i in range(num_hashes)])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_bands = num_hashes // rows_per_band
     band_exprs = ", ".join(
         f"{b}, concat_ws('|', "
