@@ -116,8 +116,13 @@ def jaccard_pairs(
     Exact (quadratic in colliding docs): the baseline near-dup oracle.
     Use minhash_lsh_candidates for the scale path and feed only its
     candidates through this verification.
+
+    The shingle set feeds the sizes aggregate and both self-join
+    branches — persisted so the explode runs once.
     """
-    sh = shingle_set(df, text_col, id_col, n)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_set(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

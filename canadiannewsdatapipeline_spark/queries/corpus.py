@@ -564,11 +564,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        toks.distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df derives FROM tf (one row per (doc, term) already), so the
+    # token explode runs exactly once — no persist needed, and the df
+    # aggregation shuffles the (doc, term) frame, not raw tokens
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a 1-row broadcast, not a driver-side count() —
     # the plan stays fully lazy/distributed
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -643,11 +642,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("t"),
     )
     flat = toks.select("doc_id", F.explode("t").alias("g"))
-    # vocabulary size as a 1-row broadcast (no driver-side action)
-    vocab = flat.select("g").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("v")
-    )
     uni = flat.groupBy(F.col("g").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    # vocabulary size derives from uni (1 row per term) — a 1-row
+    # broadcast with no second explode and no driver-side action
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
     bi = toks.select(
         "doc_id",
         F.explode(
@@ -658,6 +656,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # bi feeds both the model counts and the scoring join — persist so
+    # the bigram explode runs once (ContextCleaner reclaims it)
+    from pyspark.storagelevel import StorageLevel
+
+    bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     logp = F.round(
         F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 9
