@@ -758,3 +758,63 @@ def a_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.countDistinct("u.user_id").alias("users_7d"))
     )
+
+
+@register(
+    "a_rolling_zscore",
+    """
+    WITH st AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN n > 1
+                  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1) > 0
+                THEN ROUND((value - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                            / (n - 1)), 6)
+                ELSE NULL END AS zscore
+    FROM st
+    """,
+    doc="rolling z-score anomaly signal: exact-decimal moment sums over a 21-row frame",
+)
+def a_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly scoring: each event against its user's trailing
+    21-event window. Mean/stddev derive from exact DECIMAL moment
+    sums over the ROWS frame (native stddev over doubles is
+    summation-order-dependent and drifts between engines/partitions);
+    the three window aggregates share one user_id exchange. The same
+    moment-sum trick is what makes this expressible in streaming
+    state later."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, 0)
+    )
+    v = F.col("value").cast("decimal(12,2)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    st = ev.select(
+        "user_id", "event_id", "ts", "value",
+        n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = F.round(
+        (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var), 6
+    )
+    return st.select(
+        "user_id", "event_id", "ts",
+        F.when((F.col("n") > 1) & (var > 0), z).otherwise(F.lit(None)).alias("zscore"),
+    )

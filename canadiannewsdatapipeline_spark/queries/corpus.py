@@ -677,3 +677,109 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# 10-token shingles: long enough that sharing even one window implies
+# a copied run (Lee et al.-style exact-substring policy), short enough
+# that sf0.001's 120-token docs produce candidates.
+_SUBSTR_N = 10
+
+
+def _substr_hash_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+    shs AS (
+      SELECT DISTINCT doc_id AS id,
+             CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+      FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) g
+      WHERE i <= len(t) - {n - 1}
+    )"""
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH {_substr_hash_sql(_SUBSTR_N)}
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared_windows
+    FROM shs a JOIN shs b ON a.h = b.h AND a.id < b.id
+    GROUP BY 1, 2
+    """,
+    doc=f"exact-substring dedup: doc pairs sharing >= 1 exact {_SUBSTR_N}-token run (memorization-mitigation policy)",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of Jaccard near-dup: verbatim RUN overlap. A
+    shared 10-token window almost surely means copied text (quotes,
+    boilerplate, syndication) even when whole-doc similarity is low —
+    the policy knob train-set decontamination and memorization audits
+    use. Same machinery as MinHash (hashed shingle sets, equi-join on
+    the 8-byte hash), different n and no threshold: the join IS the
+    detector. At 100 TB the hash join is bucketed by h; a frequency
+    clamp on promiscuous windows (boilerplate) bounds fan-out exactly
+    like the LSH band clamp."""
+    from ..operators.dedup import shingle_hash_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_set(docs, "text", "doc_id", n=_SUBSTR_N)
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+    ),
+    sh3 AS (
+      SELECT DISTINCT doc_id AS id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+                  AS BIGINT) % 2147483647 AS h
+      FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) g
+      WHERE i <= len(t) - 2
+    ),
+    df AS (SELECT h, COUNT(*) AS df FROM sh3 GROUP BY h)
+    SELECT s.id AS doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_frac
+    FROM sh3 s JOIN df ON df.h = s.h
+    GROUP BY s.id
+    """,
+    doc="n-gram novelty: fraction of a doc's distinct 3-grams unique to it in the corpus",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty = share of the document's distinct 3-gram hashes with
+    corpus document-frequency 1 — low novelty flags templated or
+    syndicated text that per-doc repetition filters miss. The df table
+    derives from the SAME distinct shingle frame that scores the docs
+    (explode once), joined back on the 8-byte hash."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import shingle_hash_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_set(docs, "text", "doc_id", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(df, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_frac"),
+        )
+    )
