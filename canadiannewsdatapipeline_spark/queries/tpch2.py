@@ -524,3 +524,161 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "tpch_q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: priority-split conditional counts per lineitem attribute (linestatus for shipmode)",
+)
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's plan: fact-fact equi-join carried by orderkey with the
+    date filter pushed to the lineitem scan, then two conditional
+    counts in ONE aggregate pass (never two scans). linestatus stands
+    in for the missing shipmode column."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 1
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS t FROM pv)
+    SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(part_value AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+    """,
+    doc="TPC-H Q11 shape: per-key value vs fraction-of-total scalar threshold (lineitem as partsupp)",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's decorrelation: the HAVING threshold is a one-row total
+    re-aggregated FROM the per-part frame (no second fact scan) and
+    broadcast back. Both sides compare as doubles derived from the
+    same exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
+    pv = (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("part_value"))
+    )
+    tot = pv.agg(F.sum("part_value").alias("t"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("part_value").cast("double") > F.col("t").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM bridge JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute triple (bridge from lineitem)",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per attribute triple over the observed
+    part-supplier bridge; the part filters (negated brand + size
+    IN-list) push into the part scan before the join. Distinct-agg
+    runs as the standard two-phase Expand."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bridge = li.distinct()
+    return (
+        bridge.join(p, p.p_partkey == bridge.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_bulk_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pf AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL'),
+    cand AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM qty q JOIN pf ON pf.p_partkey = q.l_partkey
+      WHERE q.sq > 50
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN cand ON cand.l_suppkey = s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested IN-subqueries flattened to agg + semi-join chain",
+)
+def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested `IN (SELECT ... IN (SELECT ...))` flattens into a
+    per-(supplier, part) aggregate filtered by the part subset, then a
+    distinct-project semi-joined to supplier — every level an
+    equi-join, nothing correlated at runtime."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pf = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sq")
+    )
+    cand = (
+        qty.join(pf, pf.p_partkey == qty.l_partkey)
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(cand, F.col("l_suppkey") == s.s_suppkey).select(
+        "s_suppkey", "s_name"
+    )
