@@ -818,3 +818,59 @@ def a_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts",
         F.when((F.col("n") > 1) & (var > 0), z).otherwise(F.lit(None)).alias("zscore"),
     )
+
+
+@register(
+    "a_group_linear_regression",
+    """
+    WITH m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(24,0))) AS sx,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(24,0))
+                 * CAST(value AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(24,0))
+                 * CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(24,0))) AS sxx
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 86400000000.0, 8)
+             AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / n, 6) AS intercept
+    FROM m WHERE n >= 2
+    """,
+    doc="per-group OLS trend line from exact decimal moment sums (one shuffle, no UDF/MLlib)",
+)
+def a_group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-over-time trend — the feature-engineering
+    regression that does NOT need MLlib or a UDAF: slope and intercept
+    are closed forms over five moment sums, all exact DECIMAL (x is
+    integer epoch-micros rebased to the corpus epoch so products stay
+    in range), reduced map-side in ONE shuffle. The only doubles are
+    the final two divisions, identical on any engine. Native
+    regr_slope over doubles would be summation-order-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)).cast("decimal(24,0)")
+    y = F.col("value").cast("decimal(12,2)")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return m.select(
+        "user_id",
+        "n",
+        F.round(slope * 86400000000.0, 8).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
