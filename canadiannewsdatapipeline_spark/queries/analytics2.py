@@ -874,3 +874,159 @@ def a_group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * 86400000000.0, 8).alias("slope_per_day"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@register(
+    "j_fuzzy_trigram_blocked",
+    """
+    WITH corrupted AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, CAST(c_custkey % 7 + 3 AS INTEGER))
+               || substr(c_name, CAST(c_custkey % 7 + 5 AS INTEGER)) AS dirty_name
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    canon AS (SELECT c_custkey, c_name FROM customer),
+    d_grams AS (
+      SELECT DISTINCT dirty_id, dirty_name,
+             substr(dirty_name, i, 3) AS g
+      FROM corrupted, (SELECT unnest(generate_series(1, 30)) AS i)
+      WHERE i <= length(dirty_name) - 2
+    ),
+    c_grams AS (
+      SELECT DISTINCT c_custkey, c_name, substr(c_name, i, 3) AS g
+      FROM canon, (SELECT unnest(generate_series(1, 30)) AS i)
+      WHERE i <= length(c_name) - 2
+    ),
+    blocked AS (
+      SELECT DISTINCT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+      FROM d_grams d JOIN c_grams c ON c.g = d.g
+    ),
+    verified AS (
+      SELECT dirty_id, dirty_name, c_custkey AS match_id,
+             levenshtein(dirty_name, c_name) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY levenshtein(dirty_name, c_name) ASC,
+                                         c_custkey ASC) AS rnk
+      FROM blocked
+      WHERE levenshtein(dirty_name, c_name) <= 2
+    )
+    SELECT dirty_id, dirty_name, match_id, dist
+    FROM verified WHERE rnk = 1
+    """,
+    doc="entity resolution: trigram-blocked fuzzy join + edit-distance verify + best-match pick",
+)
+def j_fuzzy_trigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable fuzzy-join shape: block candidate pairs on shared
+    character trigrams (equi-join — never an all-pairs levenshtein),
+    verify survivors with edit distance <= 2, keep the best match per
+    dirty record with a deterministic tiebreak. Dirty names derive
+    from the canonical set by a doc-keyed char deletion, so the truth
+    is known. At 100 TB the gram join is the LSH-banding of strings;
+    clamp promiscuous grams exactly like hot LSH bands."""
+    cu = load_table(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 7 + 3).cast("int")
+    dirty = cu.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.lit(0) + k),
+            F.col("c_name").substr(k + 2, F.lit(200)),
+        ).alias("dirty_name"),
+    )
+    canon = cu.select("c_custkey", "c_name")
+    # trigram sets via sequence+transform (expr form: the lambda var
+    # feeds substr's position argument)
+    d_grams = dirty.select(
+        "dirty_id", "dirty_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(dirty_name) - 2, 0)),"
+                    " i -> substr(dirty_name, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    c_grams = canon.select(
+        "c_custkey", "c_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(c_name) - 2, 0)),"
+                    " i -> substr(c_name, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    blocked = (
+        d_grams.join(c_grams, "g")
+        .select("dirty_id", "dirty_name", "c_custkey", "c_name")
+        .distinct()
+    )
+    verified = blocked.withColumn(
+        "dist", F.levenshtein("dirty_name", "c_name")
+    ).filter(F.col("dist") <= 2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dirty_id").orderBy(
+        F.col("dist").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        verified.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("dirty_id", "dirty_name", F.col("c_custkey").alias("match_id"), "dist")
+    )
+
+
+@register(
+    "a_winsorize",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.p01 OR l.l_extendedprice > b.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           ROUND(CAST(SUM(CAST(
+             CASE WHEN l.l_extendedprice < b.p01 THEN b.p01
+                  WHEN l.l_extendedprice > b.p99 THEN b.p99
+                  ELSE l.l_extendedprice END AS DECIMAL(14,4))) AS DOUBLE)
+             / COUNT(*), 6) AS winsorized_mean
+    FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="winsorization: per-group p01/p99 clamp + robust mean (outlier capping for features)",
+)
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping before feature aggregation: clamp to per-group
+    exact percentiles, then aggregate the clamped values. Same
+    decorrelation as MAD — the percentile bounds are a tiny per-group
+    aggregate broadcast back. Clamped values go through DECIMAL before
+    the mean so the sum is partitioning-independent (percentile bounds
+    themselves are exact-interpolation doubles, identical on both
+    engines; the 4-dp decimal cast rounds identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_returnflag").alias("b_flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    j = li.join(F.broadcast(b), F.col("b_flag") == F.col("l_returnflag"))
+    clamped = (
+        F.when(F.col("l_extendedprice") < F.col("p01"), F.col("p01"))
+        .when(F.col("l_extendedprice") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    out_of_range = (F.col("l_extendedprice") < F.col("p01")) | (
+        F.col("l_extendedprice") > F.col("p99")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(out_of_range, 1).otherwise(0)).cast("bigint").alias("n_clamped"),
+        F.round(
+            F.sum(clamped.cast("decimal(14,4)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -70,3 +70,23 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compact_small_files(
+    spark, in_dir: str, out_dir: str, target_files: int
+) -> int:
+    """Small-file compaction — the maintenance job every file-based
+    lake needs: N tiny parquet files (per-trigger streaming output,
+    over-parallel writes) rewritten as ``target_files`` larger ones.
+    Reads once, coalesces WITHOUT a shuffle (coalesce, not
+    repartition — merging files needs no redistribution), writes
+    once. Returns the output file count. At scale pick target_files =
+    total_bytes / 128 MB and run per partition directory so the
+    rewrite parallelizes across partitions."""
+    df = spark.read.parquet(in_dir)
+    df.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
+    import os
+
+    return len(
+        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    )

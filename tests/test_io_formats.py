@@ -90,3 +90,17 @@ def test_observe_metrics_piggyback(spark):
     assert n_filtered > 0
     assert m["n_rows"] == o.count()  # metrics saw EVERY row pre-filter
     assert m["n_nonpositive"] == 0 and m["total"] > 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from canadiannewsdatapipeline_spark.sources.io import compact_small_files
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(1000).repartition(20).write.parquet(src)
+    import os
+
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 20
+    n = compact_small_files(spark, src, dst, target_files=2)
+    assert n == 2
+    assert spark.read.parquet(dst).count() == 1000
