@@ -783,3 +783,76 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+_CHUNK_SIZE = 256
+_CHUNK_STEP = 224  # size - 32 overlap
+
+
+@register(
+    "text_chunk_overlap",
+    f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           substr(text, i * {_CHUNK_STEP} + 1, {_CHUNK_SIZE}) AS chunk,
+           CAST(length(substr(text, i * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS INTEGER)
+             AS chunk_len
+    FROM documents, (SELECT unnest(generate_series(0, 40)) AS i) g
+    WHERE doc_id % 10 = 0 AND i * {_CHUNK_STEP} < length(text)
+    """,
+    doc="overlapping text chunking (256/32) for RAG/training windows — pure SQL, bounded fan-out",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the context-window prep for RAG
+    indexing and training-sequence assembly. The chunk index sequence
+    is computed per row BEFORE the explode (bounded fan-out =
+    ceil(len/step)), all in codegen; the same logic is mirrored by a
+    Python UDTF in tests/test_operators.py as the extension seam for
+    tokenizer-aware chunkers SQL can't express."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(_CHUNK_STEP)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.col("text"), i * _CHUNK_STEP + 1, _CHUNK_SIZE
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk",
+        F.length("chunk").cast("int").alias("chunk_len"),
+    )
+
+
+@register(
+    "f_variant_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract(props, '$.k') IS NOT NULL AS has_k
+    FROM events WHERE event_id % 40 = 0
+    """,
+    doc="VARIANT semi-structured path: parse_json once, typed variant_get probes",
+)
+def f_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Variant encoding: parse the JSON once into the
+    binary variant form, then typed ``variant_get`` probes — for hot
+    paths with repeated access this beats re-parsing per
+    get_json_object call (f_json_path_ops is the string-API twin).
+    The oracle reads the same values through DuckDB's JSON extract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'double')").alias("k_dbl"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string') IS NOT NULL").alias(
+            "has_k"
+        ),
+    )

@@ -172,3 +172,37 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         real_decode(b"bytes")
+
+
+def test_chunking_udtf_matches_sql(spark):
+    # §2.10 UDTF surface: a Python UDTF is the extension seam for
+    # tokenizer-aware chunkers; for plain char windows it must agree
+    # with the pure-SQL chunking query exactly
+    from pyspark.sql.functions import udtf
+
+    from canadiannewsdatapipeline_spark.queries import QUERIES
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class Chunker:
+        def eval(self, text: str, size: int, step: int):
+            i, idx = 0, 0
+            while i < len(text):
+                yield idx, text[i : i + size]
+                idx += 1
+                i += step
+
+    spark.udtf.register("chunker_udtf", Chunker)
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.filter("doc_id % 10 = 0").createOrReplaceTempView("_chunk_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM _chunk_docs d, LATERAL chunker_udtf(d.text, 256, 224) c
+        """
+    )
+    sql_side = QUERIES["text_chunk_overlap"].fn(spark, "/root/testdata/sf0.001")
+    a = {(r.doc_id, r.chunk_idx, r.chunk) for r in via_udtf.collect()}
+    b = {(r.doc_id, r.chunk_idx, r.chunk) for r in sql_side.collect()}
+    assert a == b and len(a) > 0
