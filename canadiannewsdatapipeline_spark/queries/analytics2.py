@@ -886,20 +886,28 @@ def a_group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 10 = 0
     ),
     canon AS (SELECT c_custkey, c_name FROM customer),
-    d_grams AS (
-      SELECT DISTINCT dirty_id, dirty_name,
-             substr(dirty_name, i, 3) AS g
-      FROM corrupted, (SELECT unnest(generate_series(1, 30)) AS i)
-      WHERE i <= length(dirty_name) - 2
+    d_keys AS (
+      SELECT DISTINCT dirty_id, dirty_name, k.g
+      FROM corrupted,
+           unnest([substr(dirty_name, length(dirty_name) - 3, 4),
+                   substr(dirty_name, length(dirty_name) - 7, 4)]) AS k(g)
     ),
-    c_grams AS (
-      SELECT DISTINCT c_custkey, c_name, substr(c_name, i, 3) AS g
-      FROM canon, (SELECT unnest(generate_series(1, 30)) AS i)
-      WHERE i <= length(c_name) - 2
+    c_keys AS (
+      SELECT DISTINCT c_custkey, c_name, k.g
+      FROM canon,
+           unnest([substr(c_name, length(c_name) - 3, 4),
+                   substr(c_name, length(c_name) - 7, 4)]) AS k(g)
+    ),
+    c_keys_clamped AS (
+      SELECT * FROM (
+        SELECT c_custkey, c_name, g,
+               COUNT(*) OVER (PARTITION BY g) AS block_freq
+        FROM c_keys
+      ) WHERE block_freq <= 32
     ),
     blocked AS (
       SELECT DISTINCT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
-      FROM d_grams d JOIN c_grams c ON c.g = d.g
+      FROM d_keys d JOIN c_keys_clamped c ON c.g = d.g
     ),
     verified AS (
       SELECT dirty_id, dirty_name, c_custkey AS match_id,
@@ -913,16 +921,23 @@ def a_group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dirty_id, dirty_name, match_id, dist
     FROM verified WHERE rnk = 1
     """,
-    doc="entity resolution: trigram-blocked fuzzy join + edit-distance verify + best-match pick",
+    doc="entity resolution: multi-key blocked fuzzy join + edit-distance verify + best-match pick",
 )
 def j_fuzzy_trigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scalable fuzzy-join shape: block candidate pairs on shared
-    character trigrams (equi-join — never an all-pairs levenshtein),
+    """The scalable fuzzy-join shape: block candidate pairs on a SMALL
+    set of discriminative keys (two 4-char suffix q-grams here),
     verify survivors with edit distance <= 2, keep the best match per
-    dirty record with a deterministic tiebreak. Dirty names derive
-    from the canonical set by a doc-keyed char deletion, so the truth
-    is known. At 100 TB the gram join is the LSH-banding of strings;
-    clamp promiscuous grams exactly like hot LSH bands."""
+    dirty record with a deterministic tiebreak — never an all-pairs
+    levenshtein. Blocking keys must be chosen for the data: naive
+    whole-string trigrams are catastrophically promiscuous on
+    templated names like 'Customer#000000042' (every name shares
+    'Cus'/'ust'/'000' -> the block join goes quadratic; measured 10x+
+    blow-up at sf0.1). The suffix keys hit the high-entropy region and
+    bound block size at ~N/10^4; production systems union several such
+    keys and clamp any block whose frequency explodes, exactly like
+    hot LSH bands. Dirty names derive from the canonical set by a
+    key-seeded char deletion in the low-entropy prefix, so ground
+    truth is known and the suffix keys survive corruption."""
     cu = load_table(spark, sf_dir, "customer")
     k = (F.col("c_custkey") % 7 + 3).cast("int")
     dirty = cu.filter(F.col("c_custkey") % 10 == 0).select(
@@ -933,32 +948,38 @@ def j_fuzzy_trigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty_name"),
     )
     canon = cu.select("c_custkey", "c_name")
-    # trigram sets via sequence+transform (expr form: the lambda var
-    # feeds substr's position argument)
-    d_grams = dirty.select(
-        "dirty_id", "dirty_name",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(dirty_name) - 2, 0)),"
-                    " i -> substr(dirty_name, i, 3))"
-                )
+
+    def block_keys(name_col: str):
+        n = F.length(name_col)
+        return F.array_distinct(
+            F.array(
+                F.col(name_col).substr(n - 3, F.lit(4)),
+                F.col(name_col).substr(n - 7, F.lit(4)),
             )
-        ).alias("g"),
+        )
+
+    d_keys = dirty.select(
+        "dirty_id", "dirty_name", F.explode(block_keys("dirty_name")).alias("g")
     )
-    c_grams = canon.select(
-        "c_custkey", "c_name",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(c_name) - 2, 0)),"
-                    " i -> substr(c_name, i, 3))"
-                )
-            )
-        ).alias("g"),
+    c_keys = canon.select(
+        "c_custkey", "c_name", F.explode(block_keys("c_name")).alias("g")
+    )
+    # the block clamp: any key whose canonical block exceeds 32 rows is
+    # non-discriminative (zero-padding regions, template text) and is
+    # dropped BEFORE the join — recall survives via the other key(s).
+    # Same windowed count the LSH band clamp uses; same partitioning
+    # the join needs, so it costs no extra exchange.
+    from pyspark.sql import Window
+
+    c_keys = (
+        c_keys.withColumn(
+            "block_freq", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter(F.col("block_freq") <= 32)
+        .drop("block_freq")
     )
     blocked = (
-        d_grams.join(c_grams, "g")
+        d_keys.join(c_keys, "g")
         .select("dirty_id", "dirty_name", "c_custkey", "c_name")
         .distinct()
     )
