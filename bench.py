@@ -43,6 +43,10 @@ HEADLINE = [
     # corpus assembly (added r2)
     "events_asof_attribution",
     "pack_token_shards",
+    # round-2 additions: multi-join share, SCD2 history, LM scoring
+    "tpch_q8_market_share",
+    "scd2_user_history",
+    "text_bigram_logprob",
 ]
 
 
@@ -57,6 +61,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # collect between queries so one query's garbage doesn't bill
+        # the next one's trials
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):  # best-of-3: damp JVM warmup/GC noise
             t0 = time.perf_counter()
