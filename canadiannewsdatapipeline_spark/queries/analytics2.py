@@ -1051,3 +1051,81 @@ def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "p_topk_with_ties",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders WHERE o_custkey % 100 = 0
+    ) WHERE rnk <= 2
+    """,
+    doc="top-k per group WITH ties (rank <= k): the keep-all-peers variant of p12's row_number",
+)
+def p_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() <= k keeps every row tied at the boundary — the correct
+    semantics when 'top 2 orders' must not arbitrarily drop an equal
+    price (row_number would, nondeterministically without a tiebreak).
+    Same single window exchange as p12; no tiebreaker needed because
+    peers share ranks by definition."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "events_pattern_adjacent",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id AS click_id, next_id AS purchase_id,
+           CAST(FLOOR((epoch_us(next_ts) - epoch_us(ts)) / 1000000) AS BIGINT)
+             AS gap_sec
+    FROM seq
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+    doc="adjacent-pair pattern detection (click immediately followed by purchase)",
+)
+def events_pattern_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching, adjacency form: the next event in
+    the user's stream must be the target type — stricter than the
+    funnel's first-times and the as-of join's time-window. One lead()
+    window; the pattern filter is a plain predicate on the
+    self-aligned row, no self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "click") & (F.col("next_type") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("next_id").alias("purchase_id"),
+        F.floor((F.unix_micros("next_ts") - F.unix_micros("ts")) / 1000000)
+        .cast("bigint")
+        .alias("gap_sec"),
+    )

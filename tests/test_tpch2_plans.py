@@ -99,3 +99,18 @@ def test_interpolate_single_exchange(spark):
     plan = _formatted(spark, "a_linear_interpolate")
     # both IGNORE NULLS directions share the user_id exchange
     assert _node_count(plan, "Exchange") == 1
+
+
+def test_join_strategy_hints_respected(spark):
+    # the engine exposes all three join strategies via hints — the
+    # escape hatch when AQE's choice is wrong for a known workload
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+    shuffle_hash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in shuffle_hash._jdf.queryExecution().executedPlan().toString()
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
