@@ -1129,3 +1129,108 @@ def events_pattern_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_sec"),
     )
+
+
+@register(
+    "f_struct_ops",
+    """
+    WITH lines AS (
+      SELECT l_orderkey,
+             {'qty': l_quantity, 'line': l_linenumber, 'price': l_extendedprice}
+               AS ls
+      FROM lineitem WHERE l_orderkey % 200 = 0
+    ),
+    agg AS (
+      SELECT l_orderkey, list_sort(list(ls)) AS sorted_lines
+      FROM lines GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(sorted_lines) AS INTEGER) AS n_lines,
+           sorted_lines[1].qty AS min_qty,
+           sorted_lines[1].line AS min_qty_line,
+           sorted_lines[len(sorted_lines)].qty AS max_qty,
+           ROUND(sorted_lines[1].price, 2) AS min_qty_price
+    FROM agg
+    """,
+    doc="nested struct ops: build, collect, total-order sort, positional field extraction",
+)
+def f_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-struct algebra: per-order line structs collected and
+    sorted by the struct's total field order (qty, line, price), then
+    fields extracted positionally. collect_list order is
+    partition-dependent, so the sort is what makes the result
+    deterministic — and structs are never emitted raw (engines render
+    them differently); only extracted scalars leave the query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    ls = F.struct(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    agg = li.select("l_orderkey", ls.alias("ls")).groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("ls")).alias("sorted_lines")
+    )
+    n = F.size("sorted_lines")
+    return agg.select(
+        "l_orderkey",
+        n.cast("int").alias("n_lines"),
+        F.col("sorted_lines")[0]["qty"].alias("min_qty"),
+        F.col("sorted_lines")[0]["line"].alias("min_qty_line"),
+        F.element_at("sorted_lines", n)["qty"].alias("max_qty"),
+        F.round(F.col("sorted_lines")[0]["price"], 2).alias("min_qty_price"),
+    )
+
+
+@register(
+    "quality_fk_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="warehouse-wide FK audit: orphan counts for every fact->dim edge (dbt relationships test, batched)",
+)
+def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every FK edge audited in one submitted job — the dbt
+    `relationships` test generalized from the news schema
+    (operators/quality.py) to the warehouse. Each edge is a left join
+    + null count (AQE broadcasts the dim side); a healthy warehouse
+    returns zero orphans, and the row per edge keeps the audit
+    monitorable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+
+    def edge(fact, dim, fk, pk, label):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(dim[pk].isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        edge(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(edge(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(edge(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"))
+        .unionByName(edge(o, c, "o_custkey", "c_custkey", "orders->customer"))
+    )
