@@ -1234,3 +1234,44 @@ def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"))
         .unionByName(edge(o, c, "o_custkey", "c_custkey", "orders->customer"))
     )
+
+
+@register(
+    "a_pivot_multi_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS f_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS f_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS o_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot with MULTIPLE aggregates per cell (count + exact-decimal sum), one pass",
+)
+def a_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two measures per pivot cell in one grouped pass — the explicit
+    value list keeps the output schema static (pivot without a value
+    list runs a distinct-scan first AND can produce unbounded-width
+    rows at scale). Column names are normalized to the oracle's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_n").cast("bigint").alias("f_n"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("O_n").cast("bigint").alias("o_n"),
+        F.col("O_qty").alias("o_qty"),
+    )

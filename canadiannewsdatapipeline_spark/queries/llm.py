@@ -925,3 +925,51 @@ def emb_project_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode(outs).alias("j", "out_val")
     ).withColumn("j", F.col("j").cast("int"))
+
+
+@register(
+    "stream_dedup_daily_active",
+    """
+    WITH dedup AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+      FROM events
+    )
+    SELECT CAST(date_trunc('day', minute) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_active_slots
+    FROM dedup GROUP BY 1
+    """,
+    doc="streaming watermarked dedup -> daily activity counts (third registered stream query)",
+)
+def stream_dedup_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream deduplication: at most one counted slot per
+    (user, minute) via dropDuplicatesWithinWatermark — the
+    bounded-state dedup (state evicts past the watermark horizon,
+    never grows with stream length) — then a tumbling daily count.
+    The day is a function of the dedup key, so which physical row
+    survives cannot change the answer (the rule for making streaming
+    dedup deterministic)."""
+    import uuid
+
+    from ..streaming.ingest import _normalize_ts, _state_partitions
+    from ..streaming.joins import _event_stream
+
+    stream = _event_stream(spark, f"{sf_dir}/events.parquet")
+    dedup = (
+        stream.withColumn("minute", F.date_trunc("minute", "ts"))
+        .withWatermark("minute", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "minute"])
+    )
+    agg = dedup.groupBy(
+        F.date_trunc("day", "minute").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_active_slots"))
+    sink = f"sda_{uuid.uuid4().hex[:12]}"
+    with _state_partitions(spark, 8):
+        (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink)
