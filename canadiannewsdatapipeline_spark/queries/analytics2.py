@@ -1275,3 +1275,69 @@ def a_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_n").cast("bigint").alias("o_n"),
         F.col("O_qty").alias("o_qty"),
     )
+
+
+@register(
+    "a_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(12,2)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem
+    ),
+    hit AS (
+      SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cum_wt ASC, v ASC) AS rn
+      FROM w
+      WHERE CAST(cum_wt AS DOUBLE) >= CAST(tot_wt AS DOUBLE) / 2
+    )
+    SELECT l_returnflag, v AS weighted_median FROM hit WHERE rn = 1
+    """,
+    doc="weighted median: cumulative exact-decimal weight crossing half the total (quantity-weighted price)",
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted percentile no built-in offers: order by value with
+    a total-order tiebreak, accumulate exact DECIMAL weights, take the
+    first row whose running weight crosses half the (windowed) total.
+    Both windows share the group exchange; weights stay decimal until
+    the single crossing comparison, so the crossing row is identical
+    on any engine/partitioning."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(12,2)")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(cum).alias("cum_wt"),
+        F.sum(wt).over(tot).alias("tot_wt"),
+    ).filter(
+        F.col("cum_wt").cast("double") >= F.col("tot_wt").cast("double") / 2
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(
+            F.col("cum_wt").asc(), F.col("v").asc()
+        )
+    )
+    return (
+        w.select("l_returnflag", "v", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("v").alias("weighted_median"))
+    )
