@@ -1341,3 +1341,71 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("v").alias("weighted_median"))
     )
+
+
+@register(
+    "u_union_distinct",
+    """
+    SELECT c_mktsegment AS seg, c_nationkey FROM customer WHERE c_nationkey < 5
+    UNION
+    SELECT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="UNION DISTINCT set semantics (vs UNION ALL elsewhere): dedup across branches",
+)
+def u_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNION's default distinct semantics — rows equal across
+    branches collapse. Spark's ``union`` is UNION ALL; the explicit
+    ``distinct()`` afterwards is the faithful translation (one
+    hash-aggregate over the concatenation, not a join)."""
+    cu = load_table(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_mktsegment").alias("seg"), "c_nationkey"
+    )
+    b = cu.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_mktsegment").alias("seg"), "c_nationkey"
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "a_percentile_disc",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC,
+                                         l_orderkey ASC, l_linenumber ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_extendedprice AS p90_disc
+    FROM r WHERE rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+    """,
+    doc="discrete percentile: the actual element at ceil(p*n) — no interpolation, returns a real row value",
+)
+def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc semantics spelled out as the explicit rank
+    formula (engines disagree on disc rounding conventions, so BOTH
+    sides use the same ceil(p*n) rule): unlike the interpolated
+    `a_exact_percentiles`, the result is guaranteed to be an actual
+    data value — what you want when the percentile indexes back into
+    rows (e.g., 'show me the p90 document'). One window exchange."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    target = F.greatest(F.lit(1), F.ceil(0.9 * F.col("n")).cast("bigint"))
+    return r.filter(F.col("rn") == target).select(
+        "l_returnflag", F.col("l_extendedprice").alias("p90_disc")
+    )
