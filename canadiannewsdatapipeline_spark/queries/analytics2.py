@@ -1409,3 +1409,47 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rn") == target).select(
         "l_returnflag", F.col("l_extendedprice").alias("p90_disc")
     )
+
+
+@register(
+    "f_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://news' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.ca/articles/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=feed' || CAST(doc_id % 3 AS VARCHAR)
+               || '&page=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param
+    FROM u
+    """,
+    doc="URL parsing: protocol/host/path/query-param extraction (reference article-URL handling)",
+)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference keys articles by URL (get_news.py url fields) and
+    strips tracking params for dedup; Spark's parse_url covers the
+    split natively (the oracle mirrors it with regex, which is also
+    the portable fallback). Deterministic synthetic URLs derive from
+    doc_id so the parse is verifiable. Map-only."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://news"), (d % 7).cast("string"),
+        F.lit(".example.ca/articles/"), d.cast("string"),
+        F.lit("?utm_source=feed"), (d % 3).cast("string"),
+        F.lit("&page="), (d % 5).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )

@@ -114,3 +114,18 @@ def test_join_strategy_hints_respected(spark):
     assert "ShuffledHashJoin" in shuffle_hash._jdf.queryExecution().executedPlan().toString()
     bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    # a total-order write must plan as sampled RangePartitioning (every
+    # partition a contiguous key range, parallel sort) — never a
+    # single-partition sort
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = (
+        li.orderBy("l_shipdate", "l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
