@@ -109,3 +109,64 @@ def test_merge_upsert_key_algebra(spark, target_keys, source_keys):
     assert set(out) == set(target_keys) | set(source_keys)
     for k in set(target_keys) | set(source_keys):
         assert out[k] == (f"s{k}" if k in source_keys else f"t{k}")
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=28))
+def test_scd2_incremental_equals_rebuild_any_cutoff(spark, cutoff_day):
+    # the incremental-apply invariant must hold for EVERY cutoff, not
+    # just the registered query's fixed date
+    from pyspark.sql import functions as F
+
+    from canadiannewsdatapipeline_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_history,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_type") == "signup"
+    )
+    cutoff = F.lit(f"2024-01-{cutoff_day:02d}").cast("timestamp")
+    full = scd2_history(
+        ev, ["user_id"], "ts", ["value"], tiebreak_cols=["event_id"]
+    )
+    dim = scd2_history(
+        ev.filter(F.col("ts") < cutoff), ["user_id"], "ts", ["value"],
+        tiebreak_cols=["event_id"],
+    )
+    batch = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "value", F.col("ts").alias("valid_from")
+    )
+    inc = scd2_apply_changes(dim, batch, ["user_id"], "valid_from")
+    cols = ["user_id", "value", "valid_from", "valid_to", "is_current", "version"]
+    a = {tuple(r) for r in full.select(*cols).collect()}
+    b = {tuple(r) for r in inc.select(*cols).collect()}
+    assert a == b and len(a) > 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=11))
+def test_kmv_merge_invariant_any_grouping(spark, n_groups):
+    # k smallest of unioned per-group sketches == direct global sketch,
+    # for ANY partition of the values into groups
+    from pyspark.sql import functions as F
+
+    from canadiannewsdatapipeline_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merged_global,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "g", (F.col("event_id") % n_groups).cast("int")
+    )
+    merged = kmv_merged_global(ev, "g", "user_id", k=32).collect()[0]
+    direct = (
+        kmv_distinct(ev.withColumn("g", F.lit(0)), "g", "user_id", k=32)
+        .select("n_kept", "u_k", "kmv_est")
+        .collect()[0]
+    )
+    assert (merged.n_kept, merged.u_k, merged.kmv_est) == (
+        direct.n_kept, direct.u_k, direct.kmv_est,
+    )
