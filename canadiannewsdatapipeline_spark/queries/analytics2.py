@@ -1453,3 +1453,114 @@ def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
     )
+
+
+@register(
+    "a_mode_per_group",
+    """
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    r AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey ASC) AS rn
+      FROM c
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    doc="statistical mode per group: two-level count + deterministic argmax window",
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group — no built-in mode() is
+    engine-portable (tie behavior is implementation-defined), so the
+    mode is spelled out: count per (group, value), then a tiebroken
+    argmax window over the count frame (group-cardinality-sized, tiny
+    after the first aggregate)."""
+    from pyspark.sql import Window
+
+    cu = load_table(spark, sf_dir, "customer")
+    c = cu.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        c.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "events_dwell_time_stats",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(FLOOR(MIN(gap_us) / 1000000) AS BIGINT) AS min_gap_sec,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000000, 4) AS p50_gap_sec,
+           ROUND(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_gap_sec
+    FROM d GROUP BY user_id
+    """,
+    doc="dwell-time distribution per user: lag gaps -> exact percentile summary",
+)
+def events_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell times (the engagement signal sessionization
+    thresholds are tuned from): integer epoch-micro lag gaps, then
+    exact interpolated percentiles per user. The lag window and the
+    aggregate share the user_id partitioning — one exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    d = ev.select("user_id", gap.alias("gap_us"))
+    return d.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.floor(F.min("gap_us") / 1000000).cast("bigint").alias("min_gap_sec"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1000000, 4).alias("p50_gap_sec"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1000000, 4).alias("p90_gap_sec"),
+    )
+
+
+@register(
+    "a_cume_dist",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(cume_dist() OVER (PARTITION BY o_custkey % 50
+                                   ORDER BY o_totalprice ASC), 8) AS cd
+    FROM orders WHERE o_custkey % 50 = 7
+    """,
+    doc="cume_dist: fraction of partition peers at or below each row (tie-stable)",
+)
+def a_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the rank family (rank/dense_rank/percent_rank/ntile
+    covered elsewhere): cume_dist counts peers AT the current value,
+    so it is deterministic under ties without a tiebreaker — unlike
+    percent_rank's rank-1 numerator, the two differ exactly on tied
+    rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 7)
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy(
+        F.col("o_totalprice").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
