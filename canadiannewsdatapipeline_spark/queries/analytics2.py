@@ -1564,3 +1564,31 @@ def a_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.cume_dist().over(w), 8).alias("cd"),
     )
+
+
+@register(
+    "a_grouping_sets_explicit",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="explicit non-hierarchical GROUPING SETS (neither rollup nor cube): two independent margins, one pass",
+)
+def a_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set combinations — the general form behind
+    ROLLUP/CUBE: two independent one-column margins computed in a
+    single Expand pass over the fact table (a UNION of two GROUP BYs
+    would scan twice). Spark SQL expresses it directly; the absent
+    column in each set is NULL in the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

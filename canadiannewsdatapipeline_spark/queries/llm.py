@@ -973,3 +973,114 @@ def stream_dedup_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.table(sink)
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {_SHINGLE_HASHES},
+    {_MH_CTE},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    wa AS (SELECT id, i, mh FROM mh),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM cand c
+      JOIN wa x ON x.id = c.id_a
+      JOIN wa y ON y.id = c.id_b AND y.i = x.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shs GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shs a ON a.id = c.id_a
+      JOIN shs b ON b.id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT g.id_a, g.id_b,
+           ROUND(CAST(g.n_agree AS DOUBLE) / 12, 6) AS jaccard_est,
+           ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0)), 6)
+             AS jaccard_exact
+    FROM agree g
+    LEFT JOIN common cm ON cm.id_a = g.id_a AND cm.id_b = g.id_b
+    JOIN sizes sa ON sa.id = g.id_a
+    JOIN sizes sb ON sb.id = g.id_b
+    """,
+    doc="MinHash Jaccard estimator vs exact, side by side per candidate pair (sketch quality measured in-engine)",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator behind LSH: P(minhash agree) = Jaccard, so the
+    agreement fraction over 12 signatures IS the estimate — computed
+    here next to the exact value for every LSH candidate so the
+    sketch's error is observable (and monitorable in production)
+    without ever leaving the engine. Signature agreement joins on the
+    unpivoted (id, i, mh) frame; exact Jaccard reuses the shingle-hash
+    sets."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import _mh_min, shingle_hash_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_set(docs, "text", "doc_id", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wide = sh.groupBy("id").agg(
+        *[_mh_min(i) for i in range(12)], F.count(F.lit(1)).alias("n_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_exprs = ", ".join(
+        f"{b}, concat_ws('|', " + ", ".join(f"mh{b * 3 + r}" for r in range(3)) + ")"
+        for b in range(4)
+    )
+    bands = wide.select("id", F.expr(f"stack(4, {band_exprs}) AS (band, sig)"))
+    ba = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    bb = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    stack_expr = ", ".join(f"{i}, mh{i}" for i in range(12))
+    unpivot = wide.select("id", F.expr(f"stack(12, {stack_expr}) AS (i, mh)"))
+    xa = unpivot.select(F.col("id").alias("id_a"), "i", F.col("mh").alias("mh_a"))
+    xb = unpivot.select(F.col("id").alias("id_b"), "i", F.col("mh").alias("mh_b"))
+    agree = (
+        cand.join(xa, "id_a")
+        .join(xb, ["id_b", "i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_agree")
+        )
+    )
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = wide.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = wide.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        agree.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_agree").cast("double") / 12, 6).alias("jaccard_est"),
+            F.round(
+                nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc), 6
+            ).alias("jaccard_exact"),
+        )
+    )
