@@ -1592,3 +1592,39 @@ def a_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@register(
+    "a_argmax_bool_aggs",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderkey,
+                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+             AS top_order,
+           arg_min(o_orderkey,
+                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+             AS bottom_order,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_jumbo
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="argmax/argmin + boolean aggregates (every/any/count_if), tie-safe composite key",
+)
+def a_argmax_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by tie behavior is implementation-defined, so the
+    ordering key is a composite exact integer (cents x 1e7 + orderkey)
+    that is unique per row — the portable way to make argmax
+    deterministic. count_if / every / some are the boolean aggregate
+    trio (DuckDB: count_if / bool_and / bool_or). One grouped pass."""
+    o = load_table(spark, sf_dir, "orders")
+    key = (F.col("o_totalprice") * 100).cast("bigint") * 10000000 + F.col(
+        "o_orderkey"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.min_by("o_orderkey", key).alias("bottom_order"),
+        F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias("n_large"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_totalprice") > 500000).alias("any_jumbo"),
+    )
