@@ -1628,3 +1628,53 @@ def a_argmax_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_totalprice") > 0).alias("all_positive"),
         F.some(F.col("o_totalprice") > 500000).alias("any_jumbo"),
     )
+
+
+@register(
+    "a_conditional_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END)
+             AS big_spenders,
+           COUNT(DISTINCT o_custkey) AS all_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="conditional COUNT(DISTINCT): distinct keys among qualifying rows only (NULL-eliminating CASE)",
+)
+def a_conditional_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers among qualifying rows — the CASE produces
+    NULL for non-qualifying rows and COUNT(DISTINCT) drops NULLs, so
+    no pre-filter join is needed; both distincts share one Expand
+    pass with the unconditional one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+        F.countDistinct("o_custkey").alias("all_customers"),
+    )
+
+
+@register(
+    "o_limit_offset_page",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+    doc="keyless pagination: ORDER BY total-order + LIMIT/OFFSET (page 3 of the price ranking)",
+)
+def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of a ranked listing — only deterministic because the
+    ORDER BY is a total order (the tiebreak again). OFFSET still sorts
+    the first offset+limit rows (TakeOrdered with a larger k), so deep
+    pagination should switch to keyset pagination (WHERE key < last
+    seen) — this query documents the shallow-page form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
