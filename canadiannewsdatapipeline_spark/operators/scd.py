@@ -53,20 +53,30 @@ def scd2_apply_changes(
     batch: DataFrame,
     key_cols: list[str],
     ts_col: str = "valid_from",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental SCD2 merge: close open rows superseded by the batch
     and append the batch rows as new versions.
 
     Only keys present in the batch are rewritten — untouched keys pass
     through unchanged (at 100 TB the left-semi prune keeps the rewrite
-    proportional to the batch, not the dimension)."""
+    proportional to the batch, not the dimension).
+
+    ``tiebreak_cols`` mirrors ``scd2_history``: change logs routinely
+    contain duplicate (key, ts) rows, and without an explicit total
+    order the rebuilt version/valid_to assignment is nondeterministic —
+    which silently breaks the incremental == full-rebuild invariant.
+    Both ``dim`` and ``batch`` must carry the tiebreak columns."""
     touched = batch.select(*key_cols).distinct()
     untouched = dim.join(touched, key_cols, "left_anti")
     affected = dim.join(touched, key_cols, "left_semi")
     merged = affected.unionByName(batch, allowMissingColumns=True).drop(
         "valid_to", "is_current", "version"
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     rebuilt = (
         merged.withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())

@@ -1599,10 +1599,10 @@ def a_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            arg_max(o_orderkey,
-                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
              AS top_order,
            arg_min(o_orderkey,
-                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
              AS bottom_order,
            CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large,
            bool_and(o_totalprice > 0) AS all_positive,
@@ -1615,10 +1615,13 @@ def a_argmax_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by tie behavior is implementation-defined, so the
     ordering key is a composite exact integer (cents x 1e7 + orderkey)
     that is unique per row — the portable way to make argmax
-    deterministic. count_if / every / some are the boolean aggregate
-    trio (DuckDB: count_if / bool_and / bool_or). One grouped pass."""
+    deterministic. The cents computation must be *identical* on both
+    sides: a bare double->bigint CAST rounds in DuckDB but truncates in
+    Spark, so near-.5-cent values flip the winner — both sides round()
+    explicitly before the cast. count_if / every / some are the boolean
+    aggregate trio (DuckDB: count_if / bool_and / bool_or)."""
     o = load_table(spark, sf_dir, "orders")
-    key = (F.col("o_totalprice") * 100).cast("bigint") * 10000000 + F.col(
+    key = F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000 + F.col(
         "o_orderkey"
     )
     return o.groupBy("o_orderstatus").agg(

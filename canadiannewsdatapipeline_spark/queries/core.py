@@ -117,21 +117,34 @@ def q2_enriched_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    filtered_orders = orders.filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    # Semi-join prune BEFORE the window: the date filter keeps ~15% of
+    # orders, and since the window partitions by l_orderkey, dropping
+    # whole keys up front cannot change any surviving key's result. At
+    # 100x scale this is the difference between ranking the full fact
+    # table and ranking only qualifying orders; the semi join, the
+    # window, and the final join all hash on orderkey so the exchange
+    # is paid once (plan-asserted in tests/test_physical_plans.py).
+    pruned = li.select("l_orderkey", "l_linenumber", "l_extendedprice").join(
+        filtered_orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
     # l_linenumber alone is not a total order per orderkey in the
     # synthetic data; l_extendedprice breaks the remaining ties.
     latest = latest_row_per_key(
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        pruned,
         keys=["l_orderkey"],
         ts_col="l_linenumber",
         tiebreakers=["l_extendedprice"],
     )
     return (
-        orders.filter(
-            F.col("o_orderdate").between(
-                F.lit("1996-01-01").cast("timestamp"),
-                F.lit("1996-12-31").cast("timestamp"),
-            )
-        )
+        filtered_orders
         .join(latest, orders.o_orderkey == latest.l_orderkey)
         # customer grows with sf — no pinned broadcast; AQE picks BHJ while
         # it fits the threshold and falls back to SMJ at scale.
@@ -1181,7 +1194,7 @@ def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(ks) AS INTEGER) AS n,
            ks[1] AS first_key,
            ks[-1] AS last_key,
-           ks[1:5] AS first5
+           array_to_string(ks[1:5], ',') AS first5
     FROM (SELECT c_nationkey, list_sort(list(c_custkey)) AS ks
           FROM customer GROUP BY c_nationkey)
     """,
@@ -1191,7 +1204,12 @@ def a_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is safe ONLY because the per-group cardinality is
     bounded (customers per nation); sort_array makes the aggregation
     order-insensitive, which is what makes it deterministic under
-    distributed, nondeterministically-ordered partials."""
+    distributed, nondeterministically-ordered partials.
+
+    `first5` is rendered as a comma-joined string rather than a raw
+    ARRAY column: result frames must stay scalar-typed so downstream
+    canonicalizers (pandas sort/hash) never see unhashable lists.
+    """
     cu = load_table(spark, sf_dir, "customer")
     g = cu.groupBy("c_nationkey").agg(
         F.sort_array(F.collect_list("c_custkey")).alias("ks")
@@ -1201,7 +1219,9 @@ def a_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ks").alias("n"),
         F.element_at("ks", 1).alias("first_key"),
         F.element_at("ks", -1).alias("last_key"),
-        F.slice("ks", 1, 5).alias("first5"),
+        F.array_join(
+            F.transform(F.slice("ks", 1, 5), lambda x: x.cast("string")), ","
+        ).alias("first5"),
     )
 
 

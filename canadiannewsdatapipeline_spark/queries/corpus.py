@@ -787,6 +787,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_SIZE = 256
 _CHUNK_STEP = 224  # size - 32 overlap
+# Both the Spark sequence and the oracle's generate_series stop at this
+# chunk index, so the pair stays equivalent by construction even for
+# documents longer than (_CHUNK_MAX_IDX+1)*step chars (they are simply
+# truncated identically on both sides). tests/test_corpus_ops.py guards
+# that the test corpora never actually hit the cap.
+_CHUNK_MAX_IDX = 40
 
 
 @register(
@@ -796,7 +802,7 @@ _CHUNK_STEP = 224  # size - 32 overlap
            substr(text, i * {_CHUNK_STEP} + 1, {_CHUNK_SIZE}) AS chunk,
            CAST(length(substr(text, i * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS INTEGER)
              AS chunk_len
-    FROM documents, (SELECT unnest(generate_series(0, 40)) AS i) g
+    FROM documents, (SELECT unnest(generate_series(0, {_CHUNK_MAX_IDX})) AS i) g
     WHERE doc_id % 10 = 0 AND i * {_CHUNK_STEP} < length(text)
     """,
     doc="overlapping text chunking (256/32) for RAG/training windows — pure SQL, bounded fan-out",
@@ -805,11 +811,15 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking — the context-window prep for RAG
     indexing and training-sequence assembly. The chunk index sequence
     is computed per row BEFORE the explode (bounded fan-out =
-    ceil(len/step)), all in codegen; the same logic is mirrored by a
-    Python UDTF in tests/test_operators.py as the extension seam for
-    tokenizer-aware chunkers SQL can't express."""
+    ceil(len/step), clamped to the shared _CHUNK_MAX_IDX bound), all in
+    codegen; the same logic is mirrored by a Python UDTF in
+    tests/test_operators.py as the extension seam for tokenizer-aware
+    chunkers SQL can't express."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    n_chunks = F.ceil(F.length("text") / F.lit(_CHUNK_STEP)).cast("int")
+    n_chunks = F.least(
+        F.ceil(F.length("text") / F.lit(_CHUNK_STEP)).cast("int"),
+        F.lit(_CHUNK_MAX_IDX + 1),
+    )
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     exploded = docs.select(
         "doc_id",

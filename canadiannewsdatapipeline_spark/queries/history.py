@@ -75,17 +75,27 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "signup"
     )
     cutoff = F.lit("2024-01-20").cast("timestamp")
+    # event_id rides along as an attr so the incremental rebuild can
+    # tiebreak duplicate (user_id, ts) changes exactly like the full
+    # rebuild / oracle do; it is dropped from the final projection.
     dim = scd2_history(
         ev.filter(F.col("ts") < cutoff),
         key_cols=["user_id"],
         ts_col="ts",
-        attr_cols=["event_type", "value"],
+        attr_cols=["event_type", "value", "event_id"],
         tiebreak_cols=["event_id"],
     )
     batch = ev.filter(F.col("ts") >= cutoff).select(
-        "user_id", "event_type", "value", F.col("ts").alias("valid_from")
+        "user_id", "event_type", "value", "event_id",
+        F.col("ts").alias("valid_from"),
     )
-    merged = scd2_apply_changes(dim, batch, key_cols=["user_id"], ts_col="valid_from")
+    merged = scd2_apply_changes(
+        dim,
+        batch,
+        key_cols=["user_id"],
+        ts_col="valid_from",
+        tiebreak_cols=["event_id"],
+    )
     return merged.select(
         "user_id", "event_type", "value", "valid_from", "valid_to",
         "is_current", "version",

@@ -85,8 +85,7 @@ def compact_small_files(
     rewrite parallelizes across partitions."""
     df = spark.read.parquet(in_dir)
     df.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
-    import os
-
-    return len(
-        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-    )
+    # Count output files through Spark so the check works on any
+    # Hadoop-visible filesystem (s3a://, hdfs://, local) and descends
+    # into partition subdirectories — os.listdir would do neither.
+    return len(spark.read.parquet(out_dir).inputFiles())

@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # wall-clock instant and restores epoch functions (unix_micros
             # rejects NTZ).
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dt != "timestamp":
+            # the physical type of this column has changed across test-
+            # data regenerations before (NANOS->bigint, then NTZ); fail
+            # loudly on a third variant instead of silently mis-reading
+            raise TypeError(
+                f"{name}.{col}: unhandled parquet-surfaced dtype {dt!r} — "
+                "extend _NANOS_TS_COLS normalization in sources/registry.py"
+            )
     return df
 
 

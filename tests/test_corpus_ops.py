@@ -150,3 +150,35 @@ def test_lsh_verify_strategies_equivalent(spark):
     ra = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in arr.collect()}
     rj = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in join.collect()}
     assert ra == rj and len(ra) > 0
+
+
+def test_oracle_series_caps_hold_for_test_corpora():
+    """Several DuckDB oracles expand tokens/chunks via a bounded
+    generate_series (1..200 shingle positions; 0..40 chunk indices)
+    while the Spark sides are unbounded (or clamped to the same bound).
+    The pair is only equivalent while the corpus stays under the caps —
+    fail loudly with the observed maxima if the driver ever regenerates
+    testdata with longer documents."""
+    import duckdb
+
+    from canadiannewsdatapipeline_spark.queries.corpus import (
+        _CHUNK_MAX_IDX,
+        _CHUNK_STEP,
+    )
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        max_toks, max_len = con.execute(
+            f"""
+            SELECT MAX(len(string_split(lower(text), ' '))), MAX(length(text))
+            FROM '/root/testdata/sf{sf}/documents.parquet'
+            """
+        ).fetchone()
+        assert max_toks <= 200, (
+            f"sf{sf}: doc with {max_toks} tokens exceeds the 200-position "
+            "generate_series cap in the shingle oracles"
+        )
+        assert max_len <= (_CHUNK_MAX_IDX + 1) * _CHUNK_STEP, (
+            f"sf{sf}: doc with {max_len} chars exceeds the chunk-index cap "
+            f"({_CHUNK_MAX_IDX})"
+        )

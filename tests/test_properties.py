@@ -131,14 +131,18 @@ def test_scd2_incremental_equals_rebuild_any_cutoff(spark, cutoff_day):
     full = scd2_history(
         ev, ["user_id"], "ts", ["value"], tiebreak_cols=["event_id"]
     )
+    # event_id rides through dim and batch so the incremental rebuild
+    # tiebreaks duplicate (user_id, ts) rows exactly like the full build
     dim = scd2_history(
-        ev.filter(F.col("ts") < cutoff), ["user_id"], "ts", ["value"],
-        tiebreak_cols=["event_id"],
+        ev.filter(F.col("ts") < cutoff), ["user_id"], "ts",
+        ["value", "event_id"], tiebreak_cols=["event_id"],
     )
     batch = ev.filter(F.col("ts") >= cutoff).select(
-        "user_id", "value", F.col("ts").alias("valid_from")
+        "user_id", "value", "event_id", F.col("ts").alias("valid_from")
     )
-    inc = scd2_apply_changes(dim, batch, ["user_id"], "valid_from")
+    inc = scd2_apply_changes(
+        dim, batch, ["user_id"], "valid_from", tiebreak_cols=["event_id"]
+    )
     cols = ["user_id", "value", "valid_from", "valid_to", "is_current", "version"]
     a = {tuple(r) for r in full.select(*cols).collect()}
     b = {tuple(r) for r in inc.select(*cols).collect()}

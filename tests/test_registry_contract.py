@@ -48,9 +48,37 @@ def test_every_oracle_parses_in_duckdb(con):
             raise AssertionError(f"oracle for {name} failed to parse: {e}") from e
 
 
+def test_no_registered_query_emits_nonscalar_columns(spark, sf_dir):
+    """Driver-canonicalizer contract: result frames are pandas-sorted and
+    value-hashed, which dies on unhashable cells (lists/dicts). Every
+    registered query must therefore emit only scalar-typed columns —
+    arrays must be rendered via array_join/array_to_string before return
+    (the convention a_array_agg_ops / analytics2 array queries follow)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"non-scalar output columns: {offenders}"
+
+
 def test_every_registered_query_is_documented():
     # the judge reads COVERAGE.md line by line — a registered query the
     # doc never mentions is invisible coverage
     text = open("/root/repo/COVERAGE.md").read()
     missing = sorted(name for name in QUERIES if f"`{name}`" not in text)
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_events_ts_dtype_normalized(spark, sf_dir):
+    """events.ts has changed physical parquet type between testdata
+    regenerations (TIMESTAMP(NANOS)->bigint under nanosAsLong in r1,
+    TIMESTAMP NTZ in r2). load_table must always surface it as a plain
+    session-TZ timestamp, and raises TypeError on any new variant."""
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)["ts"]
