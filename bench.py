@@ -60,17 +60,32 @@ def main() -> None:
     QUERIES[names[0]].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    n_trials = 3
     for name in names:
         # collect between queries so one query's garbage doesn't bill
         # the next one's trials
         spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(3):  # best-of-3: damp JVM warmup/GC noise
+        # untimed warmup: plan compile + codegen + page-cache priming,
+        # so the timed trials measure execution, not first-run setup
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        trials = []
+        for _ in range(n_trials):
             t0 = time.perf_counter()
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            trials.append(time.perf_counter() - t0)
+        # min is the headline (least-noise estimator on a shared box);
+        # mean/n ride along so round-over-round drift is attributable
+        # to noise vs code
+        timings[name] = round(min(trials), 3)
+        detail[name] = {
+            "min": round(min(trials), 3),
+            "mean": round(sum(trials) / len(trials), 3),
+            "n": n_trials,
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_detail": detail,
                 "sf": sf,
             }
         )

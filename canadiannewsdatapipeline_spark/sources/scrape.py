@@ -229,6 +229,111 @@ def enrich_author_emails(
     )
 
 
+def author_email_retry_chain(
+    df: DataFrame,
+    fetcher: Fetcher,
+    key_col: str = "url",
+    base_url_col: str = "base_url",
+    author_url_col: str = "author_url",
+    content_col: str = "article_content",
+    out_col: str = "author_email",
+    extractor: Callable[[str], str | None] | None = None,
+) -> DataFrame:
+    """Author-email enrichment retry POLICY as a data-parallel operator
+    (get_news_manual.py:99-264 ``parse_author_info`` /
+    ``_handle_author_email_not_found``).
+
+    The reference retries imperatively per article: (1) fetch the
+    author page at ``author_url`` and regex/settings-extract an email;
+    (2) on miss, repair the URL with verify_base_url (prepend base_url
+    when absent, utils.py:141-147) and retry; (3) on miss, prepend
+    "https:" when missing and retry; (4) finally regex the article
+    content itself (``get_author_email_naive``).
+
+    Spark-first rewrite: the three candidate URLs per row are pure
+    column algebra computed up front; the engine fetches each DISTINCT
+    candidate URL exactly once (one Arrow-batched mapInPandas pass),
+    extracts the email per page JVM-side, joins back, and takes the
+    email of the lowest-numbered attempt that hit (``min_by``), falling
+    back to the content regex. Distinct-URL fetching trades the
+    reference's per-row early exit for cross-row fetch dedup — an
+    author page shared by 10k articles is fetched once, not 10k times,
+    which is the economy that matters at scale.
+
+    Note: the reference discards step (3)'s result due to an
+    unconditional ``author_email = None`` (get_news_manual.py:215); we
+    implement the documented intent, not the bug.
+
+    ``extractor`` is the optional settings-driven page extractor
+    (``email_search_settings`` tag/attrs walk) applied inside the fetch
+    batch; when None the page email is the first EMAIL_PATTERN match
+    with any ``mailto:`` prefix stripped (the regex path).
+    """
+    url0 = F.col(author_url_col)
+    url1 = F.when(
+        F.col(author_url_col).contains(F.col(base_url_col)), url0
+    ).otherwise(F.concat(F.col(base_url_col), url0))
+    url2 = F.when(url1.contains("https:"), url1).otherwise(
+        F.concat(F.lit("https:"), url1)
+    )
+    cands = df.select(
+        key_col,
+        F.posexplode(
+            F.array_distinct(
+                F.filter(F.array(url0, url1, url2), lambda u: u.isNotNull())
+            )
+        ).alias("attempt", "_cand_url"),
+    )
+    distinct_urls = cands.select("_cand_url").distinct()
+    pages = fetch_pages(distinct_urls, fetcher, url_col="_cand_url")
+    if extractor is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("_cand_url", T.StringType()),
+                T.StructField("_page_email", T.StringType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "_cand_url": pdf["_cand_url"],
+                        "_page_email": [extractor(h) for h in pdf["html"]],
+                    }
+                )
+
+        page_emails = pages.mapInPandas(run, schema)
+    else:
+        email = F.regexp_extract(F.col("html"), EMAIL_PATTERN, 0)
+        page_emails = pages.select(
+            "_cand_url",
+            F.when(email == "", None)
+            .otherwise(F.regexp_replace(email, "^mailto:", ""))
+            .alias("_page_email"),
+        )
+    hits = (
+        cands.join(page_emails, "_cand_url")
+        .filter(F.col("_page_email").isNotNull())
+        .groupBy(key_col)
+        .agg(F.min_by("_page_email", "attempt").alias("_chain_email"))
+    )
+    naive = F.regexp_extract(F.col(content_col), EMAIL_PATTERN, 0)
+    return (
+        df.join(hits, key_col, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col("_chain_email"),
+                F.when(naive == "", None).otherwise(naive),
+            ),
+        )
+        .drop("_chain_email")
+    )
+
+
 def finalize_records(
     df: DataFrame, date_format: str = "MMM d, yyyy"
 ) -> DataFrame:

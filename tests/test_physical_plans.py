@@ -45,6 +45,26 @@ def test_q2_single_window_shuffle(spark):
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_q2_semi_join_prunes_lineitem_before_window(spark):
+    """The date filter keeps ~15% of orders; the lineitem window must
+    rank only surviving orderkeys, not the whole fact table. Assert the
+    LeftSemi prune sits below the window exchange (so the exchange
+    carries pruned rows), and that the rank-1 limit is pushed map-side
+    (partial WindowGroupLimit before the shuffle)."""
+    df = QUERIES["q2_enriched_join_dedup"].fn(spark, SF)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftSemi" in simple
+    lines = simple.splitlines()
+    semi_depth = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    exch_depth = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(l_orderkey" in l
+    )
+    assert exch_depth < semi_depth, "semi prune must run below the window exchange"
+    assert "WindowGroupLimit" in simple and "Partial" in simple
+
+
 def test_transformed_single_window_exchange(spark):
     # all 7 window partitionings share one exchange on author_t
     # (author -> trim(author) functional dependency; see plans/models.py).

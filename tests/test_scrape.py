@@ -135,3 +135,82 @@ def test_append_raw_accumulates_batches(spark, tmp_path):
     append_raw(b1, path)
     append_raw(b2, path)  # 3-hourly cron appends, never overwrites
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+
+
+def test_author_email_retry_chain_golden(spark):
+    """Golden test for the enrichment retry POLICY (reference
+    get_news_manual.py:99-264 + test_news/test_author_finder.py): the
+    try-author-page -> repaired-base-url -> https-prefixed -> article-
+    content-regex fallback chain, expressed as one distinct-URL fetch +
+    priority min_by."""
+    from canadiannewsdatapipeline_spark.sources.scrape import (
+        FixtureFetcher,
+        author_email_retry_chain,
+    )
+
+    base = "https://example.com"
+    pages = {
+        # A: direct author_url works
+        "https://example.com/authors/amy": '<a href="mailto:amy@example.com">e</a>',
+        # B: relative author_url 404s; repaired base+url page has the email
+        "https://example.com/authors/bob": "<p>bob@example.com</p>",
+        # C: protocol-less url; only the https:-prefixed variant resolves
+        "https://example.com/authors/cat": "<p>cat@example.com</p>",
+    }
+    rows = [
+        # (article url, base_url, author_url, content). Row C uses a
+        # schemeless base: per verify_base_url's substring check the
+        # https: repair can only ever fire when base_url carries no
+        # scheme itself.
+        ("u/a", base, "https://example.com/authors/amy", "no email here"),
+        ("u/b", base, "/authors/bob", "none here either"),
+        ("u/c", "example.com", "//example.com/authors/cat", "nope"),
+        ("u/d", base, None, "contact dan@example.com for info"),  # naive content
+        ("u/e", base, "/authors/missing", "nothing anywhere"),  # all miss -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, base_url string, author_url string, article_content string",
+    )
+    out = author_email_retry_chain(df, FixtureFetcher(pages))
+    got = {r.url: r.author_email for r in out.collect()}
+    assert got == {
+        "u/a": "amy@example.com",
+        "u/b": "bob@example.com",
+        "u/c": "cat@example.com",
+        "u/d": "dan@example.com",
+        "u/e": None,
+    }
+
+
+def test_author_email_retry_chain_settings_extractor(spark):
+    """email_search_settings path: a caller-supplied page extractor
+    (the tag/attrs walk) replaces the regex leaf, mirroring
+    AuthorFinder._get_email_search_settings (mailto: stripped,
+    '@'-bearing hrefs only)."""
+    import re
+
+    from canadiannewsdatapipeline_spark.sources.scrape import (
+        FixtureFetcher,
+        author_email_retry_chain,
+    )
+
+    def settings_extractor(html: str) -> str | None:
+        hrefs = re.findall(r'<a class="share" href="([^"]+)"', html)
+        emails = sorted({h for h in hrefs if "@" in h})
+        return emails[0].replace("mailto:", "") if emails else None
+
+    pages = {
+        "https://example.com/authors/amy": (
+            '<a class="share" href="mailto:amy@example.com">mail</a>'
+            '<a class="other" href="mailto:decoy@example.com">x</a>'
+        )
+    }
+    df = spark.createDataFrame(
+        [("u/a", "https://example.com", "https://example.com/authors/amy", "c")],
+        "url string, base_url string, author_url string, article_content string",
+    )
+    out = author_email_retry_chain(
+        df, FixtureFetcher(pages), extractor=settings_extractor
+    )
+    assert out.collect()[0].author_email == "amy@example.com"
