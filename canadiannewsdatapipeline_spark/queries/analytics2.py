@@ -1503,36 +1503,64 @@ def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dwell_time_stats",
     """
     WITH d AS (
+      SELECT user_id, gap_us FROM (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+        FROM events
+      ) WHERE gap_us IS NOT NULL
+    ),
+    g AS (
       SELECT user_id,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
-      FROM events
+             COUNT(*) AS n_gaps,
+             MIN(gap_us) AS min_us,
+             quantile_cont(gap_us, 0.5) AS q50_us,
+             list_sort(list(gap_us)) AS gs
+      FROM d GROUP BY user_id
     )
-    SELECT user_id,
-           COUNT(gap_us) AS n_gaps,
-           CAST(FLOOR(MIN(gap_us) / 1000000) AS BIGINT) AS min_gap_sec,
-           ROUND(quantile_cont(gap_us, 0.5) / 1000000, 4) AS p50_gap_sec,
-           ROUND(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_gap_sec
-    FROM d GROUP BY user_id
+    SELECT user_id, n_gaps,
+           CAST(FLOOR(min_us / 1000000) AS BIGINT) AS min_gap_sec,
+           q50_us / 1000000 AS p50_gap_sec,
+           gs[CAST(FLOOR((n_gaps - 1) * 0.9) AS INTEGER) + 1] AS p90_gap_us
+    FROM g
     """,
     doc="dwell-time distribution per user: lag gaps -> exact percentile summary",
 )
 def events_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event dwell times (the engagement signal sessionization
-    thresholds are tuned from): integer epoch-micro lag gaps, then
-    exact interpolated percentiles per user. The lag window and the
-    aggregate share the user_id partitioning — one exchange."""
+    thresholds are tuned from): integer epoch-micro lag gaps, then per-
+    user percentiles. The lag window and the aggregate share the
+    user_id partitioning — one exchange.
+
+    Cross-engine exactness (sf0.1 caught a ROUND(,4) boundary flip:
+    Spark rounds doubles via decimal string HALF_UP, DuckDB rounds the
+    binary value): p50 is the UNROUNDED type-7 interpolation — on
+    integer micros that is exactly (a+b)/2, bit-identical in both
+    engines; p90 is the DISCRETE element at an explicitly computed
+    index (floor((n-1)*0.9) is the same IEEE product and floor on both
+    sides), an exact BIGINT in micros — no float rounding anywhere.
+    collect_list is bounded by max events/user (the same bound the
+    sessionizer's state store assumes)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    d = ev.select("user_id", gap.alias("gap_us"))
-    return d.groupBy("user_id").agg(
-        F.count("gap_us").alias("n_gaps"),
+    d = ev.select("user_id", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    n = F.count(F.lit(1))
+    g = d.groupBy("user_id").agg(
+        n.alias("n_gaps"),
         F.floor(F.min("gap_us") / 1000000).cast("bigint").alias("min_gap_sec"),
-        F.round(F.expr("percentile(gap_us, 0.5)") / 1000000, 4).alias("p50_gap_sec"),
-        F.round(F.expr("percentile(gap_us, 0.9)") / 1000000, 4).alias("p90_gap_sec"),
+        (F.expr("percentile(gap_us, 0.5)") / 1000000).alias("p50_gap_sec"),
+        F.sort_array(F.collect_list("gap_us")).alias("gs"),
+    )
+    idx = F.floor((F.col("n_gaps") - 1) * F.lit(0.9)).cast("int") + 1
+    return g.select(
+        "user_id",
+        "n_gaps",
+        "min_gap_sec",
+        "p50_gap_sec",
+        F.element_at("gs", idx).alias("p90_gap_us"),
     )
 
 
