@@ -621,7 +621,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
     doc="corpus bigram LM scoring: add-1-smoothed avg log-prob per doc (perplexity-proxy quality signal)",
@@ -635,7 +635,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at scale). Each bigram's log-prob is ROUNDED to 9 dp and
     summed as exact DECIMAL, so per-doc totals are identical under any
     partitioning/engine (raw double summation would drift); one IEEE
-    division at the end."""
+    division at the end, UNROUNDED — the inputs are bit-identical
+    across engines, and a final ROUND would reintroduce the string-vs-
+    binary boundary flip on decimal-terminating averages (n = 2^a5^b
+    bigram counts)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -673,9 +676,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_logprob"
-        ),
+        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
     )
 
 

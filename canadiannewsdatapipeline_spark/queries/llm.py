@@ -717,11 +717,12 @@ def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     """
     WITH ex AS (
-      SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+      SELECT label, i AS pos,
+             CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,14)) AS v
       FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g
     )
     SELECT label, CAST(pos AS INTEGER) AS pos,
-           ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS c
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.0 AS c
     FROM ex GROUP BY label, pos
     """,
     doc="per-class embedding centroids: element-wise mean (IVF/k-means training primitive)",
@@ -729,15 +730,25 @@ def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode + (label, pos) aggregate — one shuffle of (label,
     pos, v) triples, partial-aggregated map-side so the exchange moves
-    ~num_labels x dim rows, not num_vectors x dim. `+ 0.0` normalizes
-    IEEE -0.0 so both engines render identically."""
+    ~num_labels x dim rows, not num_vectors x dim.
+
+    Summation goes through DECIMAL(28,14): a raw double SUM is
+    partition-order-dependent (both engines would drift in the low
+    bits, and the old ROUND(,6) then sat one boundary flip away — the
+    events_dwell_time_stats failure mode). The decimal quantization of
+    each float is identical in both engines (same binary value, same
+    half-up), the sum is exact under any grouping order, and the final
+    /COUNT is one IEEE op on identical inputs — so no ROUND is needed
+    at all. `+ 0.0` normalizes IEEE -0.0."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    ex = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    )
     return ex.groupBy("label", "pos").agg(
         (
-            F.round(
-                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
-            )
+            F.sum(F.col("v").cast("double").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1))
             + F.lit(0.0)
         ).alias("c")
     )
