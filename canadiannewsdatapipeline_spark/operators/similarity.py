@@ -36,8 +36,15 @@ def _norm2(a: str) -> Column:
 
 
 def with_cosine(pairs: DataFrame, a: str = "ea", b: str = "eb") -> DataFrame:
-    """Add ``cos_sim`` (rounded to 4 dp for engine-portable compares)."""
-    cos = _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+    """Add ``cos_sim`` (rounded to 4 dp for engine-portable compares).
+
+    ``try_divide``, not ``/``: a zero-norm vector makes the denominator
+    0, and under ANSI mode a plain division turns ONE degenerate row
+    into a whole-job failure (fuzz-caught). NULL is also exactly what
+    DuckDB returns for double x/0, so the oracle pair agrees: undefined
+    similarities drop out of thresholds and rank last (NULLS LAST on
+    DESC in both engines) with the id tiebreaker deciding order."""
+    cos = F.try_divide(_dot(a, b), F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
     return pairs.withColumn("cos_sim", F.round(cos, 4))
 
 
@@ -266,7 +273,12 @@ def ivf_cells(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (F.sqrt(_norm2("v")) * F.sqrt(_norm2("cv"))), 6)
+    # try_divide: a zero-norm vector (or centroid) must degrade to a
+    # NULL distance — which ranks last and falls to the cid tiebreak —
+    # not abort the whole assignment job under ANSI mode
+    cos = F.round(
+        F.try_divide(dot, F.sqrt(_norm2("v")) * F.sqrt(_norm2("cv"))), 6
+    )
     scored = e.crossJoin(F.broadcast(c)).withColumn("cos_c", cos)
     w = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     return (

@@ -652,7 +652,10 @@ def j_right_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 25 = 0
     )
     SELECT doc_id,
-           array_to_string(list_sort(list_intersect(a, b)), ',') AS both_,
+           -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — zero-token docs must agree
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+             AS both_,
            CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER)
              AS only_full,
            CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS union_size

@@ -307,18 +307,21 @@ def events_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CASE WHEN comp.id <> comp.cluster_id THEN 'duplicate'
-                WHEN rep.n_tokens < 20 THEN 'too_short'
+                WHEN COALESCE(rep.n_tokens, 0) < 20 THEN 'too_short'
                 WHEN rep.top_token_frac > 0.15 THEN 'repetitive'
                 WHEN NOT (lang.s_en >= lang.s_fr AND lang.s_en >= lang.s_es
                           AND lang.s_en >= lang.s_de) THEN 'non_english'
                 ELSE NULL END AS reject_reason,
-           (comp.id = comp.cluster_id AND rep.n_tokens >= 20
+           (comp.id = comp.cluster_id AND COALESCE(rep.n_tokens, 0) >= 20
             AND rep.top_token_frac <= 0.15
             AND lang.s_en >= lang.s_fr AND lang.s_en >= lang.s_es
             AND lang.s_en >= lang.s_de) AS keep
     FROM documents d
     JOIN comp ON comp.id = d.doc_id
-    JOIN rep ON rep.id = d.doc_id
+    -- LEFT: the explode-based rep CTE has no rows for zero-token
+    -- documents, but the filter must be TOTAL over the corpus — an
+    -- empty doc is rejected as too_short, never silently dropped
+    LEFT JOIN rep ON rep.id = d.doc_id
     JOIN lang ON lang.id = d.doc_id
     """,
     doc="flagship corpus filter: near-dup cluster keep + length + repetition + language, with per-doc reject reason",

@@ -372,7 +372,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(t) AS n_tokens,
            len(list_distinct(t)) AS n_distinct_tokens,
            length(text) AS n_chars,
-           CAST(length(array_to_string(t, '')) AS DOUBLE)
+           CAST(length(COALESCE(array_to_string(t, ''), '')) AS DOUBLE)
              / GREATEST(CAST(len(t) AS DOUBLE), 1.0) AS avg_token_len,
            0.4 * (CAST(len(list_intersect(list_distinct(t), {_in_list(LANG_STOPWORDS['en'])})) AS DOUBLE)
                   / GREATEST(CAST(len(t) AS DOUBLE), 1.0))
@@ -411,7 +411,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
     )
     SELECT doc_id AS id,
-           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+           -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' — an empty doc must still fingerprint
+           -- (md5('')), not go NULL (fuzz-caught)
+           md5(COALESCE(array_to_string(list_sort(list_distinct(t)), ' '), ''))
+             AS fingerprint
     FROM toks
     """,
     doc="order-insensitive document fingerprint (sorted token-set md5)",
@@ -688,8 +692,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(toks, x -> length(x) > 3)) AS INTEGER) AS n_long,
            CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
              AS total_chars,
-           array_to_string(list_sort(list_distinct(
-             list_transform(toks, x -> substr(x, 1, 1)))), '') AS initials
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_transform(toks, x -> substr(x, 1, 1)))), ''), '') AS initials
     FROM t
     """,
     doc="higher-order array functions: lambda filter/transform/aggregate, all JVM-side",

@@ -59,8 +59,13 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if k in only}
     bad = []
     for name, fn in sorted(qs.items()):
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"{name}: CRASH ({type(exc).__name__}: {str(exc)[:140]})")
+            bad.append(name)
+            continue
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows)")
             continue
