@@ -34,13 +34,29 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+# (session, path, mtime) -> DataFrame. A DataFrame is an immutable
+# logical plan, so handing the same object to every query is safe; the
+# mtime key invalidates when a warehouse is regenerated in place (the
+# fuzzer does this), and the listing/schema inference — several py4j
+# round-trips + a footer read per table per query — happens once per
+# session instead of once per call. Keyed on the session object itself
+# (not an id) so a restarted session can never collide with a stale
+# plan bound to a stopped SparkContext.
+_TABLE_CACHE: dict[tuple[SparkSession, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The grading driver may hand us a session it built itself; pin the
     # runtime confs every query depends on (UTC makes timestamp
     # literals/epoch constructors match the DuckDB oracle).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark, path, os.path.getmtime(path))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(col)
         if dt == "bigint":
@@ -60,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"{name}.{col}: unhandled parquet-surfaced dtype {dt!r} — "
                 "extend _NANOS_TS_COLS normalization in sources/registry.py"
             )
+    _TABLE_CACHE[key] = df
     return df
 
 

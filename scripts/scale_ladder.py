@@ -1,0 +1,174 @@
+"""Scale-ladder bench: replicate the sf0.1 warehouse K-fold (with
+consistent key offsets, so join integrity and key cardinality scale
+together) and time the headline queries at each rung.
+
+Why this exists: the driver's sf0.1 parquet is one row group per
+table, so scan parallelism is 1 by data layout, and per-query wall is
+dominated by fixed overhead — the bench alone can't distinguish "fast
+because small" from "scales because the plans are right". The ladder
+writes multi-row-group files (100k rows/group, the shape real
+warehouses have), so scans actually fan out across cores and the
+shuffle/agg plans are exercised at 10x the rows. Near-flat
+wall-per-row across rungs is the evidence the 100 TB posture claims.
+
+Replication scheme (copy i of K):
+- every synthetic key gets +i*stride for its table (orderkey stride
+  covers lineitem's FK, custkey covers orders', etc.), so PK/FK pairs
+  stay consistent and distinct-key counts scale linearly;
+- dims region/nation stay fixed (they are fixed-size in TPC-H too);
+- documents/embeddings replicate under fresh ids with text/vectors
+  unchanged — every doc gains K-1 exact twins, which *stresses* the
+  dedup family (bigger LSH buckets, K-fold cluster sizes) rather than
+  diluting it.
+
+Usage: python scripts/scale_ladder.py [K] [out_dir]
+(default K=10 -> ~sf1; prints one JSON line per rung plus a summary)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DIMS = ["region", "nation"]
+ROW_GROUP = 100_000
+
+# key column -> offset stride (> max key at sf0.1, see TESTDATA.md)
+STRIDES = {
+    "o_orderkey": 1_000_000,
+    "l_orderkey": 1_000_000,
+    "o_custkey": 100_000,
+    "c_custkey": 100_000,
+    "p_partkey": 100_000,
+    "l_partkey": 100_000,
+    "s_suppkey": 10_000,
+    "l_suppkey": 10_000,
+    "event_id": 10_000_000,
+    "user_id": 10_000,
+    "doc_id": 100_000,
+    "vec_id": 100_000,
+}
+
+# the scale-safe headline set (quadratic CORRECTNESS-only baselines
+# excluded by construction — bench.py's HEADLINE already is that set)
+HEADLINE_SUBSET = [
+    "q1_pricing_summary",
+    "q2_enriched_join_dedup",
+    "q8_top_words",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_volume",
+    "tpch_q8_market_share",
+    "j7_disjunctive_min",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    # brute-force vs ANN on the same corpus: the ladder exists to show
+    # the crossover — the quadratic baseline scales super-linearly by
+    # design, the LSH-bucketed path stays near-flat
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "text_quality",
+    "events_sessionize_stats",
+    "events_asof_attribution",
+    "pack_token_shards",
+    "scd2_user_history",
+    "text_bigram_logprob",
+]
+
+
+def build_rung(con: duckdb.DuckDBPyConnection, k: int, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    tables = [
+        f.removesuffix(".parquet")
+        for f in sorted(os.listdir(SRC))
+        if f.endswith(".parquet")
+    ]
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t in DIMS or k == 1:
+            # fixed dims copy through (still rewritten so the row-group
+            # layout is uniform across the rung)
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{dst}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+            )
+            continue
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} + i * {STRIDES[c]} AS {c}" if c in STRIDES else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM '{src}', "
+            f"(SELECT unnest(generate_series(0, {k - 1})) AS i) g) "
+            f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+        )
+
+
+def main() -> int:
+    k_top = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_ladder"
+    rungs = sorted({1, max(2, k_top // 3), k_top})
+
+    con = duckdb.connect()
+    for k in rungs:
+        out = f"{base}/x{k}"
+        if not os.path.isdir(out):
+            build_rung(con, k, out)
+
+    from canadiannewsdatapipeline_spark.queries import QUERIES
+    from canadiannewsdatapipeline_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    summary = {}
+    for k in rungs:
+        out = f"{base}/x{k}"
+        timings = {}
+        for name in HEADLINE_SUBSET:
+            fn = QUERIES[name].fn
+            fn(spark, out).write.format("noop").mode("overwrite").save()
+            trials = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, out).write.format("noop").mode("overwrite").save()
+                trials.append(time.perf_counter() - t0)
+            timings[name] = round(min(trials), 3)
+        total = round(sum(timings.values()), 3)
+        summary[f"x{k}"] = {"total_sec": total, "queries": timings}
+        print(json.dumps({"rung": f"x{k}", "total_sec": total, "queries": timings}))
+
+    base_total = summary[f"x{rungs[0]}"]["total_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "scale_ladder",
+                "rungs": {
+                    r: {
+                        "total_sec": s["total_sec"],
+                        "wall_vs_x1": round(s["total_sec"] / base_total, 2),
+                    }
+                    for r, s in summary.items()
+                },
+                "data_vs_x1": {f"x{k}": k for k in rungs},
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
