@@ -5,6 +5,7 @@ judge's line-by-line check)."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import duckdb
@@ -82,3 +83,33 @@ def test_events_ts_dtype_normalized(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)["ts"]
+
+
+def test_load_table_caches_and_invalidates_on_rewrite(spark, sf_dir, tmp_path):
+    """load_table memoizes the (session, path) DataFrame — repeat query
+    calls must not re-pay file listing + schema inference — but a table
+    regenerated in place (the fuzz warehouse does this) must be re-read:
+    the cached plan holds the OLD file listing, so serving it for a
+    rewritten file would silently read stale or deleted data."""
+    import shutil
+
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", wh / "region.parquet")
+    a = load_table(spark, str(wh), "region")
+    assert load_table(spark, str(wh), "region") is a
+    assert a.count() == 5
+
+    # regenerate in place with different contents (and a bumped mtime)
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{sf_dir}/region.parquet' WHERE r_regionkey < 3) "
+        f"TO '{wh / 'region.parquet'}' (FORMAT PARQUET)"
+    )
+    os.utime(wh / "region.parquet")
+    b = load_table(spark, str(wh), "region")
+    assert b is not a
+    assert b.count() == 3
