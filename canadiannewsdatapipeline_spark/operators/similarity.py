@@ -19,6 +19,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _plane(key_parts: tuple[int, ...], dim: int) -> Column:
+    """Literal hyperplane array for plane ``key_parts`` (e.g. (t, p)).
+
+    Component j = (ascii(md5('t:p:j' )[0]) % 7) - 3 — the same formula
+    the DuckDB oracles evaluate in SQL. Evaluating md5 inside a
+    Catalyst higher-order function is NOT constant-folded (measured:
+    ~8M per-row md5 calls = 30 s at sf0.1), so the components are
+    computed once here with hashlib — bit-identical by construction —
+    and embedded as a literal double array."""
+    import hashlib
+
+    key = ":".join(str(k) for k in key_parts)
+    vals = [
+        float((ord(hashlib.md5(f"{key}:{j}".encode()).hexdigest()[0]) % 7) - 3)
+        for j in range(dim)
+    ]
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -48,13 +67,23 @@ def with_cosine(pairs: DataFrame, a: str = "ea", b: str = "eb") -> DataFrame:
     return pairs.withColumn("cos_sim", F.round(cos, 4))
 
 
+def _with_cosine_prenormed(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """``with_cosine`` for frames that carry precomputed ``sqrt_na`` /
+    ``sqrt_nb`` side norms. Bit-identical to the inline version —
+    ``sqrt(norm2)`` of the same double is the same double whether it is
+    computed per pair or per side — but the per-side form does the
+    O(dim) norm fold N+Q times instead of N*Q times."""
+    cos = F.try_divide(_dot(a, b), F.col("sqrt_na") * F.col("sqrt_nb"))
+    return pairs.withColumn("cos_sim", F.round(cos, 4))
+
+
 def _pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     a = emb.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("ea")
-    )
+    ).withColumn("sqrt_na", F.sqrt(_norm2("ea")))
     b = emb.select(
         F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb")
-    )
+    ).withColumn("sqrt_nb", F.sqrt(_norm2("eb")))
     return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
 
 
@@ -62,7 +91,7 @@ def cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
-    return with_cosine(_pairs(emb, id_col, vec_col)).filter(
+    return _with_cosine_prenormed(_pairs(emb, id_col, vec_col), "ea", "eb").filter(
         F.col("cos_sim") >= threshold
     ).select("id_a", "id_b", "cos_sim")
 
@@ -80,11 +109,14 @@ def cosine_topk(
     partition-parallel. Rank is over the rounded cosine with id_b as
     tiebreaker (total order => engine-portable)."""
     q = emb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("ea")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("ea"),
     )
+    q = q.withColumn("sqrt_na", F.sqrt(_norm2("ea")))
     c = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))
+    c = c.withColumn("sqrt_nb", F.sqrt(_norm2("eb")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("id_b"))
-    scored = with_cosine(pairs)
+    scored = _with_cosine_prenormed(pairs, "ea", "eb")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("id_b").asc()
     )
@@ -102,18 +134,9 @@ def lsh_sign_buckets(
     deterministic pseudo-random integer hyperplanes.
 
     Hyperplane component (p, j) = (ascii(md5(p ':' j)[0]) % 7) - 3,
-    reproducible in any engine with md5 + ascii."""
-    plane = [
-        F.array(
-            *[
-                (
-                    F.ascii(F.substring(F.md5(F.lit(f"{p}:{j}")), 1, 1)) % 7 - 3
-                ).cast("double")
-                for j in range(dim)
-            ]
-        ).alias(f"h{p}")
-        for p in range(n_planes)
-    ]
+    reproducible in any engine with md5 + ascii (precomputed to
+    literals here — see ``_plane``)."""
+    plane = [_plane((p,), dim).alias(f"h{p}") for p in range(n_planes)]
     e = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v"), *plane
     )
@@ -145,13 +168,25 @@ def ann_lsh_pairs(
     Equi-join on bucket instead of a full cross join; recall trades
     off with n_planes (8 planes => 256 buckets)."""
     buckets = lsh_sign_buckets(emb, id_col, vec_col, n_planes, dim)
-    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("sn", F.sqrt(_norm2("v")))
     be = buckets.join(e, "id")
-    a = be.select(F.col("id").alias("id_a"), F.col("v").alias("ea"), "bucket")
-    b = be.select(F.col("id").alias("id_b"), F.col("v").alias("eb"), "bucket")
+    a = be.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("ea"),
+        F.col("sn").alias("sqrt_na"),
+        "bucket",
+    )
+    b = be.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("eb"),
+        F.col("sn").alias("sqrt_nb"),
+        "bucket",
+    )
     cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        with_cosine(cand)
+        _with_cosine_prenormed(cand, "ea", "eb")
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )
@@ -172,22 +207,14 @@ def lsh_multitable_buckets(
     L independent tables lift that to 1-(1-p^k)^L while a candidate
     pair costs one equi-join row per colliding table. Plane component
     (t, p, j) = (ascii(md5(t ':' p ':' j)[0]) % 7) - 3 — reproducible
-    in any engine with md5 + ascii. One projection + one posexplode;
-    no shuffle until the candidate join."""
+    in any engine with md5 + ascii (precomputed to literals here —
+    see ``_plane``). One projection + one posexplode; no shuffle until
+    the candidate join."""
     tables = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
-            plane = F.array(
-                *[
-                    (
-                        F.ascii(F.substring(F.md5(F.lit(f"{t}:{p}:{j}")), 1, 1))
-                        % 7
-                        - 3
-                    ).cast("double")
-                    for j in range(dim)
-                ]
-            )
+            plane = _plane((t, p), dim)
             dot = F.round(
                 F.aggregate(
                     F.zip_with(F.col("v"), plane, lambda x, y: x * y),
@@ -226,7 +253,9 @@ def ann_lsh_multitable_pairs(
     buckets = lsh_multitable_buckets(
         emb, id_col, vec_col, n_tables, n_planes, dim
     )
-    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("sn", F.sqrt(_norm2("v")))
     a = buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
     cand = (
@@ -234,11 +263,17 @@ def ann_lsh_multitable_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .join(e.withColumnsRenamed({"id": "id_a", "v": "ea"}), "id_a")
-        .join(e.withColumnsRenamed({"id": "id_b", "v": "eb"}), "id_b")
+        .join(
+            e.withColumnsRenamed({"id": "id_a", "v": "ea", "sn": "sqrt_na"}),
+            "id_a",
+        )
+        .join(
+            e.withColumnsRenamed({"id": "id_b", "v": "eb", "sn": "sqrt_nb"}),
+            "id_b",
+        )
     )
     return (
-        with_cosine(cand)
+        _with_cosine_prenormed(cand, "ea", "eb")
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -266,8 +301,10 @@ def ivf_cells(
     rounded to 6 dp before the argmax so the ranking is engine-stable."""
     c = emb.filter(centroid_filter).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
-    )
-    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    ).withColumn("snc", F.sqrt(_norm2("cv")))
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("snv", F.sqrt(_norm2("v")))
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
         F.lit(0.0),
@@ -275,10 +312,11 @@ def ivf_cells(
     )
     # try_divide: a zero-norm vector (or centroid) must degrade to a
     # NULL distance — which ranks last and falls to the cid tiebreak —
-    # not abort the whole assignment job under ANSI mode
-    cos = F.round(
-        F.try_divide(dot, F.sqrt(_norm2("v")) * F.sqrt(_norm2("cv"))), 6
-    )
+    # not abort the whole assignment job under ANSI mode. Norms are
+    # precomputed per side (sqrt of the same double is the same double
+    # wherever it is computed) so the O(dim) fold runs N+C times, not
+    # N*C times.
+    cos = F.round(F.try_divide(dot, F.col("snv") * F.col("snc")), 6)
     scored = e.crossJoin(F.broadcast(c)).withColumn("cos_c", cos)
     w = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     return (
@@ -303,17 +341,29 @@ def ann_ivf_pairs(
     With multi-probe a pair can collide in more than one cell, so
     pairs are de-duplicated before verification."""
     cells = ivf_cells(emb, id_col, vec_col, centroid_filter, n_probe)
-    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("sn", F.sqrt(_norm2("v")))
     ce = cells.join(e, "id")
-    a = ce.select(F.col("id").alias("id_a"), F.col("v").alias("ea"), "cell")
-    b = ce.select(F.col("id").alias("id_b"), F.col("v").alias("eb"), "cell")
+    a = ce.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("ea"),
+        F.col("sn").alias("sqrt_na"),
+        "cell",
+    )
+    b = ce.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("eb"),
+        F.col("sn").alias("sqrt_nb"),
+        "cell",
+    )
     cand = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        with_cosine(cand)
+        _with_cosine_prenormed(cand, "ea", "eb")
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
