@@ -27,7 +27,11 @@ def _plane(key_parts: tuple[int, ...], dim: int) -> Column:
     Catalyst higher-order function is NOT constant-folded (measured:
     ~8M per-row md5 calls = 30 s at sf0.1), so the components are
     computed once here with hashlib — bit-identical by construction —
-    and embedded as a literal double array."""
+    and embedded as a literal double array. The literal is built as ONE
+    parsed expression string: element-wise F.lit() costs a py4j round
+    trip per component (~7 s of driver time for 96 planes, measured),
+    while a single F.expr is ~60x cheaper to construct. Components are
+    exact small integers as doubles, so repr round-trips exactly."""
     import hashlib
 
     key = ":".join(str(k) for k in key_parts)
@@ -35,7 +39,7 @@ def _plane(key_parts: tuple[int, ...], dim: int) -> Column:
         float((ord(hashlib.md5(f"{key}:{j}".encode()).hexdigest()[0]) % 7) - 3)
         for j in range(dim)
     ]
-    return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def _as_double(col: str) -> Column:
@@ -232,24 +236,25 @@ def lsh_multitable_buckets(
     )
 
 
-def ann_lsh_multitable_pairs(
+def _ann_lsh_multitable_distinct(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_tables: int = 12,
-    n_planes: int = 5,
-    dim: int = 64,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
 ) -> DataFrame:
-    """Scale-path ANN with amplified recall: candidates collide in ANY
-    of the ``n_tables`` hash tables, are de-duplicated, then verified
-    with the exact cosine. Measured at sf0.01 (threshold 0.4, the
-    hardest regime for sign-LSH — a 66° angle is barely off random):
-    L=16 k=4 recovers 58/59 true pairs (L=12 k=5: 41/59) vs 2/59 for
-    the single 8-bit table. At production
-    near-dup thresholds (>= 0.85) the same L x k is ~100% recall on
-    <1% of pairs. The join key (tbl, bucket) keeps every table's
-    buckets in one shuffle."""
+    """Multi-table LSH + exact verify over ALREADY-DISTINCT vectors.
+
+    Candidate pairs are verified BEFORE pair dedup: a pair colliding in
+    several tables costs a few extra map-side cosines (dup factor is
+    bounded by n_tables, measured ~1.6 at sf1), while de-duplicating
+    the raw candidate stream first costs a shuffle of the entire
+    candidate volume — measured 350 s on 210M candidate rows at ~sf1
+    vs map-side verify against a broadcast vector table. The distinct
+    runs on post-threshold survivors, which the threshold has already
+    cut by orders of magnitude."""
     buckets = lsh_multitable_buckets(
         emb, id_col, vec_col, n_tables, n_planes, dim
     )
@@ -262,7 +267,6 @@ def ann_lsh_multitable_pairs(
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
         .join(
             e.withColumnsRenamed({"id": "id_a", "v": "ea", "sn": "sqrt_na"}),
             "id_a",
@@ -275,8 +279,95 @@ def ann_lsh_multitable_pairs(
     return (
         _with_cosine_prenormed(cand, "ea", "eb")
         .filter(F.col("cos_sim") >= threshold)
+        # pair-dedup via explicit aggregate, not dropDuplicates(subset):
+        # duplicate rows carry identical cosines (same arrays, same
+        # fold), so max() is value-exact — and the Deduplicate node's
+        # aggregate rewrite breaks downstream set-op composition
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under exceptAll, Spark
+        # 4.1) where a plain aggregate does not
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+
+
+def ann_lsh_multitable_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 12,
+    n_planes: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-path ANN with amplified recall: candidates collide in ANY
+    of the ``n_tables`` hash tables and are verified with the exact
+    cosine. Measured at sf0.01 (threshold 0.4, the hardest regime for
+    sign-LSH — a 66° angle is barely off random): L=16 k=4 recovers
+    58/59 true pairs (L=12 k=5: 41/59) vs 2/59 for the single 8-bit
+    table. At production near-dup thresholds (>= 0.85) the same L x k
+    is ~100% recall on <1% of pairs. The join key (tbl, bucket) keeps
+    every table's buckets in one shuffle.
+
+    Identical vectors are collapsed FIRST (min-id representative via
+    one window over the vector value), the LSH + verify pipeline runs
+    on distinct vectors only, and verified representative pairs are
+    expanded back to member pairs at the end. Replicated corpora are
+    exactly where near-dup volume explodes (every copy collides with
+    every copy in every table, quadratically); the cascade makes the
+    quadratic stage scale with DISTINCT vectors while the expansion is
+    a linear join. The output set is provably identical: members share
+    their representative's buckets (identical input -> identical
+    hashes) and its cosines (identical doubles -> identical rounded
+    values), and within-group pairs always collide, with the same
+    self-cosine the pairwise formula yields. Exact-dedup-then-LSH is
+    the cascade production near-dup pipelines run anyway."""
+    w = Window.partitionBy("mv")
+    members = (
+        emb.select(F.col(id_col).alias("mid"), _as_double(vec_col).alias("mv"))
+        .withColumn("rid", F.min("mid").over(w))
+        .withColumn("gsz", F.count(F.lit(1)).over(w))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    reps = members.filter(F.col("mid") == F.col("rid")).select(
+        F.col("rid").alias(id_col), F.col("mv").alias(vec_col)
+    )
+    rep_pairs = _ann_lsh_multitable_distinct(
+        reps, id_col, vec_col, threshold, n_tables, n_planes, dim
+    )
+    mapping = members.select("rid", "mid")
+    cross = (
+        rep_pairs.join(
+            mapping.withColumnsRenamed({"rid": "id_a", "mid": "ma"}), "id_a"
+        )
+        .join(mapping.withColumnsRenamed({"rid": "id_b", "mid": "mb"}), "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # within-group pairs: identical vectors always share every bucket,
+    # so every member pair of a multi-member group is a candidate; its
+    # cosine is the group's self-cosine (1.0 after rounding for any
+    # nonzero vector, NULL for zero-norm — dropped, as the pairwise
+    # formula would)
+    self_cos = F.round(
+        F.try_divide(_dot("mv", "mv"), F.sqrt(_norm2("mv")) * F.sqrt(_norm2("mv"))),
+        4,
+    )
+    grp = members.filter(F.col("gsz") > 1).withColumn("cos_sim", self_cos)
+    within = (
+        grp.select("rid", F.col("mid").alias("id_a"), "cos_sim")
+        .join(grp.select("rid", F.col("mid").alias("id_b")), "rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    # disjoint by construction: cross pairs span two groups, within
+    # pairs stay inside one — no dedup needed across the union
+    return cross.unionByName(within)
 
 
 def ivf_cells(
@@ -357,13 +448,16 @@ def ann_ivf_pairs(
         F.col("sn").alias("sqrt_nb"),
         "cell",
     )
-    cand = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    # verify before pair-dedup: a multi-probe pair duplicates at most
+    # n_probe times (a few extra map-side cosines), while deduping the
+    # raw candidate stream costs a full-volume shuffle; the dedup runs
+    # on post-threshold survivors as an explicit aggregate (duplicate
+    # rows carry identical cosines, so max() is value-exact; see
+    # _ann_lsh_multitable_distinct for why not dropDuplicates(subset))
     return (
         _with_cosine_prenormed(cand, "ea", "eb")
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )

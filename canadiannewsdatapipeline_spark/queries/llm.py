@@ -921,7 +921,10 @@ def emb_project_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hashlib.md5(f"{i}x{j}".encode()).hexdigest()[0].encode()[0] % 7) - 3
             for i in range(64)
         ]
-        return F.array(*[F.lit(float(v)) for v in vals])
+        # one parsed expression instead of 64 py4j F.lit round-trips
+        # (same fix as operators/similarity._plane; values are exact
+        # small integers so repr round-trips to the identical double)
+        return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
 
     outs = F.array(
         *[
