@@ -55,6 +55,79 @@ def test_lsh_multitable_perfect_precision_and_amplified_recall(emb, truth):
     assert len(multi) >= len(truth) // 2  # the whole point of L tables
 
 
+def test_cascade_equals_direct_pipeline_on_twinned_corpus(spark, emb):
+    """ann_lsh_multitable_pairs collapses identical vectors to a
+    representative before LSH and expands verified pairs back. On a
+    corpus with exact twins (every vector duplicated under fresh ids —
+    the shape replication/crawling produces) the output must equal the
+    direct bucket-join-then-verify pipeline run over all ids."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _as_double,
+        _norm2,
+        _with_cosine_prenormed,
+        lsh_multitable_buckets,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    twin = base.unionByName(
+        base.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+
+    def direct(e_df, n_tables, n_planes):
+        buckets = lsh_multitable_buckets(
+            e_df, "vec_id", "embedding", n_tables, n_planes, 64
+        )
+        e = e_df.select(
+            F.col("vec_id").alias("id"), _as_double("embedding").alias("v")
+        ).withColumn("sn", F.sqrt(_norm2("v")))
+        a = buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        b = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
+        cand = (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .join(
+                e.withColumnsRenamed(
+                    {"id": "id_a", "v": "ea", "sn": "sqrt_na"}
+                ),
+                "id_a",
+            )
+            .join(
+                e.withColumnsRenamed(
+                    {"id": "id_b", "v": "eb", "sn": "sqrt_nb"}
+                ),
+                "id_b",
+            )
+        )
+        return (
+            _with_cosine_prenormed(cand, "ea", "eb")
+            .filter(F.col("cos_sim") >= THRESHOLD)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    got = {
+        tuple(r)
+        for r in ann_lsh_multitable_pairs(
+            twin, "vec_id", "embedding", THRESHOLD, n_tables=8, n_planes=4
+        ).collect()
+    }
+    want = {tuple(r) for r in direct(twin, 8, 4).collect()}
+    assert got == want
+    # twins guarantee within-group pairs exist (cos 1.0 >= threshold)
+    assert len(got) > 0
+
+
+def test_ann_pairs_compose_under_set_ops(emb):
+    """Regression: the pair-dedup must be a plain aggregate — a
+    Deduplicate(subset) node here broke downstream set-op rewrites
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under exceptAll, Spark 4.1)."""
+    q = ann_lsh_multitable_pairs(
+        emb, "vec_id", "embedding", THRESHOLD, n_tables=8, n_planes=4
+    )
+    assert q.exceptAll(q.limit(0)).count() == q.count()
+
+
 def test_ivf_multiprobe_perfect_precision(emb, truth):
     got = _pairs(
         ann_ivf_pairs(
