@@ -62,15 +62,18 @@ def _ann_lsh_prod(spark, sf_dir):
     """Production-regime ANN: threshold 0.85, L=8 tables x k=12 planes.
 
     The registered ``sim_ann_lsh`` pins threshold 0.4 — a 66° angle,
-    barely off random — where LSH theory says candidate volume is
-    Theta(N^1.66) for constant recall (rho = ln p1 / ln p2 ≈ 0.66), so
-    its ladder row MUST grow superlinearly; that is the operator
-    meeting its theoretical bound, not a plan defect. Near-dup dedup
-    in practice runs at >= 0.85, where k=12 makes random collisions
-    ~8*2^-12 of pairs while exact/near twins always collide: this row
-    is the evidence the same operator is near-flat in its intended
-    regime. The ladder's K-fold replication gives every vector K-1
-    exact twins (cos = 1.0), so true positives exist at any K."""
+    barely off random — where LSH theory says candidate volume over
+    DISTINCT vectors is Theta(N^1.66) for constant recall (rho =
+    ln p1 / ln p2 ≈ 0.66). On ladder data the exact-dedup cascade
+    inside the operator absorbs the K-fold replication (distinct
+    count stays constant), so both rows read near-flat; the N^1.66
+    law would reappear if the rungs added NEW vectors near the
+    threshold instead of twins. Near-dup dedup in practice runs at
+    >= 0.85, where k=12 makes random collisions ~8*2^-12 of pairs
+    while exact/near twins always collide: this row shows the
+    operator in its intended regime. The ladder's K-fold replication
+    gives every vector K-1 exact twins (cos = 1.0), so true
+    positives exist at any K."""
     from canadiannewsdatapipeline_spark.operators.similarity import (
         ann_lsh_multitable_pairs,
     )
