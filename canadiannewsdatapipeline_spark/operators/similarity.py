@@ -429,8 +429,10 @@ def ann_ivf_pairs(
     exact cosine verification — an equi-join on the cell id replaces
     the quadratic scan (recall tuned by cell granularity + n_probe).
 
-    With multi-probe a pair can collide in more than one cell, so
-    pairs are de-duplicated before verification."""
+    With multi-probe a pair can collide in more than one cell;
+    duplicates are verified map-side first (at most n_probe extra
+    cosines each) and de-duplicated AFTER the threshold via
+    groupBy/max, avoiding a full-candidate-volume shuffle."""
     cells = ivf_cells(emb, id_col, vec_col, centroid_filter, n_probe)
     e = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")

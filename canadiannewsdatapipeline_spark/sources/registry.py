@@ -9,6 +9,7 @@ column pruning, and row-group skipping for free.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,28 +35,46 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-# (session, path, mtime) -> DataFrame. A DataFrame is an immutable
+# session -> {path: (mtime, DataFrame)}. A DataFrame is an immutable
 # logical plan, so handing the same object to every query is safe; the
-# mtime key invalidates when a warehouse is regenerated in place (the
-# fuzzer does this), and the listing/schema inference — several py4j
+# mtime invalidates when a warehouse is regenerated in place (the
+# fuzzer does this) and the stale entry is REPLACED, not accumulated,
+# so the cache is bounded by (live sessions x table paths). The outer
+# map is weak-keyed on the session object: a stopped/dropped session
+# releases its plans to GC instead of being pinned forever, and a
+# restarted session can never collide with a stale plan bound to a
+# stopped SparkContext. The listing/schema inference — several py4j
 # round-trips + a footer read per table per query — happens once per
-# session instead of once per call. Keyed on the session object itself
-# (not an id) so a restarted session can never collide with a stale
-# plan bound to a stopped SparkContext.
-_TABLE_CACHE: dict[tuple[SparkSession, str, float], DataFrame] = {}
+# session instead of once per call.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[float, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+# Sessions whose runtime confs we've already pinned. The grading driver
+# may hand us a session it built itself; every query depends on UTC
+# (timestamp literals/epoch constructors match the DuckDB oracle) and
+# nanosAsLong (events.ts physical type). Pinning is idempotent but each
+# conf.set is a py4j round trip, so it runs once per session, not once
+# per load_table call.
+_CONF_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    if spark in _CONF_PINNED:
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONF_PINNED.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The grading driver may hand us a session it built itself; pin the
-    # runtime confs every query depends on (UTC makes timestamp
-    # literals/epoch constructors match the DuckDB oracle).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark, path, os.path.getmtime(path))
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    mtime = os.path.getmtime(path)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    hit = per_session.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(col)
@@ -76,7 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"{name}.{col}: unhandled parquet-surfaced dtype {dt!r} — "
                 "extend _NANOS_TS_COLS normalization in sources/registry.py"
             )
-    _TABLE_CACHE[key] = df
+    per_session[path] = (mtime, df)
     return df
 
 
