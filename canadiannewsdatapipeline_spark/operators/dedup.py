@@ -179,6 +179,149 @@ def minhash_signatures(
     )
 
 
+def _token_key(t) -> "F.Column":
+    """16-byte exact-dedup key: md5 of the space-joined token array.
+
+    Tokens are ``[a-z]+`` runs (never contain spaces), so the join is
+    injective on token arrays up to md5 collision — the same collision
+    budget ``exact_dup_groups`` already accepts. Every downstream
+    quantity of the near-dup pipelines (shingle hashes, signatures,
+    band sigs, Jaccard) is a pure function of the token array, so two
+    docs with equal keys are interchangeable everywhere below."""
+    return F.md5(F.concat_ws(" ", t))
+
+
+def _collapse_identical(df: DataFrame, text_col: str, id_col: str):
+    """Exact-dedup cascade front end: ``(groups, mapping)``.
+
+    - ``groups``: one row per DISTINCT token array — ``(tkey, rid,
+      gsz, t)`` with rid = min member id (the representative) and gsz
+      the member count. Built with groupBy/agg, NOT a window: partial
+      aggregation collapses identical copies map-side, so the one
+      shuffle that carries token arrays moves ~|distinct docs| rows
+      regardless of the duplication factor (a K-fold-replicated corpus
+      shuffles 1/K of itself). ``F.first(t)`` is value-deterministic —
+      every row in a tkey group carries the identical array.
+    - ``mapping``: narrow ``(mid, rid, gsz)`` member->representative
+      mapping (ids + a 16-byte key only; the docs' text never rides
+      this join).
+
+    Both frames are persisted — groups feeds the shingle pipeline and
+    the within-group expansion, mapping feeds two expansion joins;
+    Spark's ContextCleaner unpersists them once the query's RDDs are
+    unreferenced (same lifecycle the signature persists below rely
+    on). Tokenization runs twice (once per frame), map-side only."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = tokens_col(text_col)
+    keyed = df.select(F.col(id_col).alias("mid"), t.alias("t")).withColumn(
+        "tkey", _token_key(F.col("t"))
+    )
+    groups = (
+        keyed.groupBy("tkey")
+        .agg(
+            F.min("mid").alias("rid"),
+            F.count(F.lit(1)).alias("gsz"),
+            F.first("t").alias("t"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mapping = (
+        keyed.select("mid", "tkey")
+        .join(groups.select("tkey", "rid", "gsz"), "tkey")
+        .select("mid", "rid", "gsz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return groups, mapping
+
+
+def _rep_shingle_hashes(groups: DataFrame, n: int) -> DataFrame:
+    """``shingle_hash_set`` over the representatives' token arrays:
+    (id=rid, gsz, h). gsz rides along (8 bytes/shingle row, map-side
+    only) so the band clamp can weight representative rows by member
+    count without a second join."""
+    hashes = F.array_distinct(
+        F.transform(
+            _shingles_expr(n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            % M31,
+        )
+    )
+    return (
+        groups.select(F.col("rid").alias("id"), "gsz", "t")
+        .filter(F.size("t") >= n)
+        .select("id", "gsz", F.explode(hashes).alias("h"))
+    )
+
+
+def _band_stack_expr(num_hashes: int, rows_per_band: int) -> str:
+    n_bands = num_hashes // rows_per_band
+    band_exprs = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"stack({n_bands}, {band_exprs}) AS (band, sig)"
+
+
+def _clamp_bands(
+    bands: DataFrame, max_band_freq: int | None, weighted: bool
+) -> DataFrame:
+    """Drop band signatures whose document frequency exceeds the skew
+    clamp. ``weighted`` is the cascade form: each representative row
+    counts ``gsz`` members, so the frequency equals what the flat
+    (per-member) pipeline would have counted — clamp decisions are
+    bit-identical."""
+    if max_band_freq is None:
+        return bands
+    from pyspark.sql import Window
+
+    one = F.sum("gsz") if weighted else F.count(F.lit(1))
+    freq = one.over(Window.partitionBy("band", "sig"))
+    return (
+        bands.withColumn("_band_freq", freq)
+        .filter(F.col("_band_freq") <= max_band_freq)
+        .drop("_band_freq")
+    )
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame, mapping: DataFrame, value_col: str
+) -> DataFrame:
+    """Representative pairs -> member pairs: every member of group A x
+    every member of group B, canonically ordered. Two narrow joins
+    (ids + one value column); the quadratic-in-group-size blowup only
+    happens here, in output rows, never in shingles/signatures."""
+    ma = mapping.select(F.col("rid").alias("rid_a"), F.col("mid").alias("ma"))
+    mb = mapping.select(F.col("rid").alias("rid_b"), F.col("mid").alias("mb"))
+    return (
+        rep_pairs.join(ma, "rid_a")
+        .join(mb, "rid_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            value_col,
+        )
+    )
+
+
+def _within_group_pairs(mapping: DataFrame, rep_values: DataFrame) -> DataFrame:
+    """All member pairs inside multi-member groups, carrying their
+    representative's value row. ``rep_values`` (rid, <value>) must
+    contain only reps that would self-collide (>= 1 surviving band) —
+    the inner join drops groups whose rep was clamped out or has no
+    shingles, exactly as the flat pipeline drops them."""
+    m2 = mapping.filter(F.col("gsz") > 1)
+    return (
+        m2.select("rid", F.col("mid").alias("id_a"))
+        .join(m2.select("rid", F.col("mid").alias("id_b")), "rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(rep_values, "rid")
+        .drop("rid")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -187,6 +330,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 3,
     n: int = 3,
     max_band_freq: int | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """LSH banding: candidate pairs sharing >= 1 band signature, with
     the number of shared bands. Join key is (band, band_signature) —
@@ -199,11 +343,79 @@ def minhash_lsh_candidates(
     by f docs fans out to f*(f-1)/2 candidate rows, so one boilerplate/
     empty-doc signature flooding a band turns the equi-join quadratic
     again. Signatures with frequency > max_band_freq are dropped before
-    the self-join (a windowed count over the same (band, sig) hash
-    partitioning the join needs — no extra join). Duplicate groups that
-    large are still caught by exact dedup on the content hash; LSH only
-    needs the *near*-dup tail. Default None = no clamp (exact oracle
-    semantics).
+    the self-join. Duplicate groups that large are still caught by
+    exact dedup on the content hash; LSH only needs the *near*-dup
+    tail. Default None = no clamp (exact oracle semantics).
+
+    ``collapse_identical`` (default) is the exact-dedup cascade:
+    identical documents (same token array) are collapsed to a min-id
+    representative BEFORE shingling, the signature/banding pipeline
+    runs over distinct docs only, and representative pairs expand back
+    to member pairs at the end. Output-identical to the flat pipeline
+    (``collapse_identical=False``, kept as the equivalence oracle):
+
+    - members share their representative's shingle-hash set, hence its
+      signatures, band sigs, and candidate partners;
+    - the band clamp weights each representative row by group size, so
+      frequencies equal the flat per-member counts;
+    - within-group pairs always collide — they share every surviving
+      band, so their n_shared_bands is the rep's surviving-band count,
+      and groups whose rep lost every band (or has < n tokens) emit
+      nothing, exactly like the flat pipeline.
+
+    On a replicated corpus the shingle explode, signature agg, and
+    banding join all scale with DISTINCT documents; only the output
+    expansion is quadratic in group size (the operator's pair-list
+    contract — hand consumers ``dedup_clusters`` for group-shaped
+    output)."""
+    if not collapse_identical:
+        return _minhash_lsh_candidates_flat(
+            df, text_col, id_col, num_hashes, rows_per_band, n, max_band_freq
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    groups, mapping = _collapse_identical(df, text_col, id_col)
+    sh = _rep_shingle_hashes(groups, n)
+    wide = sh.groupBy("id").agg(
+        *[_mh_min(i) for i in range(num_hashes)],
+        F.min("gsz").alias("gsz"),
+    )
+    bands = wide.select(
+        "id", "gsz", F.expr(_band_stack_expr(num_hashes, rows_per_band))
+    )
+    bands = _clamp_bands(bands, max_band_freq, weighted=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = bands.select(F.col("id").alias("rid_a"), "band", "sig")
+    b = bands.select(F.col("id").alias("rid_b"), "band", "sig")
+    rep_pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("rid_a") < F.col("rid_b"))
+        .groupBy("rid_a", "rid_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    cross = _expand_member_pairs(rep_pairs, mapping, "n_shared_bands")
+    surv = bands.groupBy(F.col("id").alias("rid")).agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
+    within = _within_group_pairs(mapping, surv).select(
+        "id_a", "id_b", "n_shared_bands"
+    )
+    # disjoint by construction: cross pairs span two groups, within
+    # pairs stay inside one — union needs no dedup
+    return cross.unionByName(within)
+
+
+def _minhash_lsh_candidates_flat(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Flat (per-member) pipeline — the cascade's equivalence oracle.
 
     The per-id signature frame is persisted: both sides of the banding
     self-join read it, and without the persist Spark recomputes the
@@ -218,16 +430,7 @@ def minhash_lsh_candidates(
         .agg(*[_mh_min(i) for i in range(num_hashes)])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_bands = num_hashes // rows_per_band
-    band_exprs = ", ".join(
-        f"{b}, concat_ws('|', "
-        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        + ")"
-        for b in range(n_bands)
-    )
-    bands = wide.select(
-        "id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band, sig)")
-    )
+    bands = wide.select("id", F.expr(_band_stack_expr(num_hashes, rows_per_band)))
     if max_band_freq is not None:
         from pyspark.sql import Window
 
@@ -257,6 +460,7 @@ def lsh_verified_pairs(
     threshold: float = 0.5,
     max_band_freq: int | None = None,
     verify_strategy: str = "array",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """The production-shape near-dup pipeline: MinHash-LSH candidate
     generation followed by exact Jaccard verification of ONLY the
@@ -283,12 +487,128 @@ def lsh_verified_pairs(
     bit-for-bit. Candidate pairs with zero common shingles fall out of
     the inner join — identical to jaccard = 0 < threshold.
 
+    ``collapse_identical`` (default) is the exact-dedup cascade —
+    identical token arrays collapse to a min-id representative before
+    shingling, only representatives are banded and verified, and
+    verified pairs expand back to members (see
+    ``minhash_lsh_candidates`` for the output-identity argument). The
+    verified additions: a cross-group member pair's Jaccard IS its
+    representatives' Jaccard (same hash sets), and a within-group
+    pair's Jaccard is exactly 1.0 (n/(n+n-n) with n >= 1 distinct
+    hashes — the flat pipeline computes the same double), emitted only
+    for groups whose representative kept >= 1 band after the clamp,
+    and only when 1.0 >= threshold.
+
     The signature aggregate is persisted (it feeds banding AND the
     verify lookups); Spark's ContextCleaner unpersists it once
     unreferenced; on a 100 TB run swap the persist for a checkpoint to
     cluster storage (the same two-phase shape plans/runner.py uses).
     Shingle sizes ride along as one extra COUNT column instead of a
     second aggregation over the shingles."""
+    if not collapse_identical:
+        return _lsh_verified_pairs_flat(
+            df, text_col, id_col, num_hashes, rows_per_band, n, threshold,
+            max_band_freq, verify_strategy,
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    groups, mapping = _collapse_identical(df, text_col, id_col)
+    sh = _rep_shingle_hashes(groups, n)
+    if verify_strategy == "join":
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    extra = [] if verify_strategy == "join" else [F.collect_set("h").alias("hs")]
+    wide = sh.groupBy("id").agg(
+        *[_mh_min(i) for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_sh"),
+        F.min("gsz").alias("gsz"),
+        *extra,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = wide.select(
+        "id", "gsz", F.expr(_band_stack_expr(num_hashes, rows_per_band))
+    )
+    bands = _clamp_bands(bands, max_band_freq, weighted=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ba = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    bb = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_strategy == "array":
+        wa = wide.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
+            F.col("hs").alias("hs_a"),
+        )
+        wb = wide.select(
+            F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
+            F.col("hs").alias("hs_b"),
+        )
+        n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+        jac = n_common.cast("double") / (
+            F.col("n_a") + F.col("n_b") - n_common
+        )
+        rep_pairs = (
+            cand.join(wa, "id_a")
+            .join(wb, "id_b")
+            .select(
+                F.col("id_a").alias("rid_a"),
+                F.col("id_b").alias("rid_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        a = sh.select(F.col("id").alias("id_a"), "h")
+        b = sh.select(F.col("id").alias("id_b"), "h")
+        common = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = wide.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = wide.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        jac = F.col("n_common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        rep_pairs = (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                F.col("id_a").alias("rid_a"),
+                F.col("id_b").alias("rid_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    cross = _expand_member_pairs(rep_pairs, mapping, "jaccard")
+    # a rep with >= 1 surviving band self-collides; its members' pairwise
+    # Jaccard is exactly 1.0 (identical nonempty hash sets)
+    surv = (
+        bands.select(F.col("id").alias("rid"))
+        .distinct()
+        .withColumn("jaccard", F.lit(1.0))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    within = _within_group_pairs(mapping, surv).select("id_a", "id_b", "jaccard")
+    return cross.unionByName(within)
+
+
+def _lsh_verified_pairs_flat(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: int | None = None,
+    verify_strategy: str = "array",
+) -> DataFrame:
+    """Flat (per-member) pipeline — the cascade's equivalence oracle."""
     from pyspark.storagelevel import StorageLevel
 
     sh = shingle_hash_set(df, text_col, id_col, n)
