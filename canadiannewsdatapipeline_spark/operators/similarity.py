@@ -46,6 +46,25 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _vec_key(col: Column) -> Column:
+    """16-byte exact-vector grouping key: md5 over the canonical
+    per-component string form — instead of shuffling the raw
+    64-double array (~512 B/row) as the grouping key.
+
+    ``x + 0.0`` normalizes -0.0 to 0.0 so the string key groups
+    exactly like Spark's native array<double> grouping semantics
+    (NormalizeFloatingNumbers rewrites -0.0 to 0.0 in grouping keys);
+    NaN stringifies to 'NaN', matching grouping's NaN == NaN. Java's
+    Double.toString is shortest-round-trip, so distinct normalized
+    doubles always yield distinct strings; null components map to a
+    sentinel no double can produce (concat_ws would otherwise SKIP
+    nulls and conflate [1.0, null] with [1.0])."""
+    canon = F.transform(
+        col, lambda x: F.coalesce((x + F.lit(0.0)).cast("string"), F.lit("∅"))
+    )
+    return F.md5(F.concat_ws(",", canon))
+
+
 def _dot(a: str, b: str) -> Column:
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
@@ -308,40 +327,67 @@ def ann_lsh_multitable_pairs(
     is ~100% recall on <1% of pairs. The join key (tbl, bucket) keeps
     every table's buckets in one shuffle.
 
-    Identical vectors are collapsed FIRST (min-id representative via
-    one window over the vector value), the LSH + verify pipeline runs
-    on distinct vectors only, and verified representative pairs are
-    expanded back to member pairs at the end. Replicated corpora are
-    exactly where near-dup volume explodes (every copy collides with
-    every copy in every table, quadratically); the cascade makes the
-    quadratic stage scale with DISTINCT vectors while the expansion is
-    a linear join. The output set is provably identical: members share
-    their representative's buckets (identical input -> identical
-    hashes) and its cosines (identical doubles -> identical rounded
-    values), and within-group pairs always collide, with the same
-    self-cosine the pairwise formula yields. Exact-dedup-then-LSH is
-    the cascade production near-dup pipelines run anyway."""
-    w = Window.partitionBy("mv")
-    members = (
-        emb.select(F.col(id_col).alias("mid"), _as_double(vec_col).alias("mv"))
-        .withColumn("rid", F.min("mid").over(w))
-        .withColumn("gsz", F.count(F.lit(1)).over(w))
-    )
+    Identical vectors are collapsed FIRST (min-id representative), the
+    LSH + verify pipeline runs on distinct vectors only, and verified
+    representative pairs are expanded back to member pairs at the end.
+    Replicated corpora are exactly where near-dup volume explodes
+    (every copy collides with every copy in every table,
+    quadratically); the cascade makes the quadratic stage scale with
+    DISTINCT vectors while the expansion is a linear join. The output
+    set is provably identical: members share their representative's
+    buckets (identical input -> identical hashes) and its cosines
+    (identical doubles -> identical rounded values), and within-group
+    pairs always collide, with the same self-cosine the pairwise
+    formula yields. Exact-dedup-then-LSH is the cascade production
+    near-dup pipelines run anyway.
+
+    The collapse groups by a 16-byte md5 of the canonical vector
+    string (``_vec_key``), not the raw 64-double array, and uses
+    groupBy/agg rather than a window: partial aggregation collapses
+    copies map-side, so the one shuffle that carries vectors moves
+    ~|distinct vectors| rows regardless of the duplication factor, and
+    its key is 16 bytes instead of ~512. ``F.first(mv)`` is value-
+    deterministic — every row in a vkey group carries the identical
+    array. The member->rep ``mapping`` join is ids + key only; member
+    vectors never shuffle. Both frames are persisted (groups feeds the
+    rep pipeline and the within-group self-cosines, mapping feeds two
+    expansion joins); Spark's ContextCleaner unpersists them once the
+    query's RDDs are unreferenced — on a 100 TB run swap the persists
+    for checkpoints to cluster storage (the two-phase shape
+    plans/runner.py uses)."""
     from pyspark.storagelevel import StorageLevel
 
-    members = members.persist(StorageLevel.MEMORY_AND_DISK)
-    reps = members.filter(F.col("mid") == F.col("rid")).select(
-        F.col("rid").alias(id_col), F.col("mv").alias(vec_col)
+    e = emb.select(
+        F.col(id_col).alias("mid"), _as_double(vec_col).alias("mv")
+    ).withColumn("vkey", _vec_key(F.col("mv")))
+    groups = (
+        e.groupBy("vkey")
+        .agg(
+            F.min("mid").alias("rid"),
+            F.count(F.lit(1)).alias("gsz"),
+            F.first("mv").alias("mv"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    mapping = (
+        e.select("mid", "vkey")
+        .join(groups.select("vkey", "rid", "gsz"), "vkey")
+        .select("mid", "rid", "gsz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = groups.select(F.col("rid").alias(id_col), F.col("mv").alias(vec_col))
     rep_pairs = _ann_lsh_multitable_distinct(
         reps, id_col, vec_col, threshold, n_tables, n_planes, dim
     )
-    mapping = members.select("rid", "mid")
     cross = (
         rep_pairs.join(
-            mapping.withColumnsRenamed({"rid": "id_a", "mid": "ma"}), "id_a"
+            mapping.select(F.col("rid").alias("id_a"), F.col("mid").alias("ma")),
+            "id_a",
         )
-        .join(mapping.withColumnsRenamed({"rid": "id_b", "mid": "mb"}), "id_b")
+        .join(
+            mapping.select(F.col("rid").alias("id_b"), F.col("mid").alias("mb")),
+            "id_b",
+        )
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
@@ -352,17 +398,23 @@ def ann_lsh_multitable_pairs(
     # so every member pair of a multi-member group is a candidate; its
     # cosine is the group's self-cosine (1.0 after rounding for any
     # nonzero vector, NULL for zero-norm — dropped, as the pairwise
-    # formula would)
+    # formula would), computed ONCE per group on the groups frame
     self_cos = F.round(
         F.try_divide(_dot("mv", "mv"), F.sqrt(_norm2("mv")) * F.sqrt(_norm2("mv"))),
         4,
     )
-    grp = members.filter(F.col("gsz") > 1).withColumn("cos_sim", self_cos)
-    within = (
-        grp.select("rid", F.col("mid").alias("id_a"), "cos_sim")
-        .join(grp.select("rid", F.col("mid").alias("id_b")), "rid")
-        .filter(F.col("id_a") < F.col("id_b"))
+    grp = (
+        groups.filter(F.col("gsz") > 1)
+        .withColumn("cos_sim", self_cos)
         .filter(F.col("cos_sim") >= threshold)
+        .select("rid", "cos_sim")
+    )
+    m2 = mapping.filter(F.col("gsz") > 1)
+    within = (
+        m2.select("rid", F.col("mid").alias("id_a"))
+        .join(m2.select("rid", F.col("mid").alias("id_b")), "rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(grp, "rid")
         .select("id_a", "id_b", "cos_sim")
     )
     # disjoint by construction: cross pairs span two groups, within

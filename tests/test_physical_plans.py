@@ -190,3 +190,24 @@ def test_multi_distinct_single_expand(spark):
 def test_q18_semi_join_for_having_in(spark):
     plan = _simple(spark, "tpch_q18_large_orders")
     assert "LeftSemi" in plan
+
+
+def test_ann_cascade_shuffles_narrow_keys_not_vectors(spark):
+    # the exact-dedup collapse groups on the 16-byte vkey (md5 of the
+    # canonical vector string), never on the raw 64-double array: no
+    # Exchange may hash-partition on an embedding/vector column
+    plan = _formatted(spark, "sim_ann_lsh")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "mv#" not in line and "embedding#" not in line, line
+    assert "vkey" in plan
+
+
+def test_dedup_cascade_shuffles_keys_not_text(spark):
+    # text-dedup cascade: the collapse groups on the md5 token key and
+    # the signature agg on rep ids — no Exchange keyed on raw text
+    for name in ("dedup_lsh_verified", "dedup_minhash_lsh"):
+        plan = _formatted(spark, name)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line and " t#" not in line, (name, line)
