@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_topk_ann",
     "text_quality",
     "stream_windowed_counts",
     "events_sessionize_stats",

@@ -422,6 +422,85 @@ def ann_lsh_multitable_pairs(
     return cross.unionByName(within)
 
 
+def ann_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: Column,
+    k: int = 5,
+    n_tables: int = 12,
+    n_planes: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN-backed top-k twin of ``cosine_topk``: candidates are the
+    vectors sharing any (table, bucket) with the query under
+    multi-table sign-LSH, ranked by exact cosine within the candidate
+    set. Queries whose candidate set falls short of k fall back to
+    brute force FOR THAT QUERY ONLY, so the output contract (k
+    neighbors per query over a corpus of > k vectors) always holds
+    while the common case costs one equi-join instead of a full scan
+    per query.
+
+    Scale shape: the query side is ``query_filter``-small and
+    broadcast everywhere it appears; the only large-side work is the
+    (tbl, bucket) equi-join against the corpus bucket table and one
+    id equi-join to fetch candidate vectors. Candidate pairs are
+    de-duplicated (a pair colliding in several tables must rank once)
+    before vectors are attached, so the dedup shuffles ids only. The
+    corpus bucket frame is persisted — the query side reads it too;
+    Spark's ContextCleaner unpersists once unreferenced. Brute-force
+    fallback volume is |short queries| x N — bounded by the ANN
+    operating point, and degrades toward ``cosine_topk`` (never worse)
+    if the tables are mistuned."""
+    from pyspark.storagelevel import StorageLevel
+
+    qids = emb.filter(query_filter).select(F.col(id_col).alias("query_id"))
+    buckets = lsh_multitable_buckets(
+        emb, id_col, vec_col, n_tables, n_planes, dim
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qb = buckets.join(
+        F.broadcast(qids), F.col("id") == F.col("query_id")
+    ).select("query_id", "tbl", "bucket")
+    cand = (
+        qb.join(
+            buckets.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("id_b") != F.col("query_id"))
+        .select("query_id", "id_b")
+        .distinct()
+    )
+    cnt = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    short = (
+        qids.join(cnt, "query_id", "left")
+        .filter(F.coalesce(F.col("n_cand"), F.lit(0)) < k)
+        .select("query_id")
+    )
+    fallback = (
+        F.broadcast(short)
+        .crossJoin(emb.select(F.col(id_col).alias("id_b")))
+        .filter(F.col("id_b") != F.col("query_id"))
+    )
+    full_cand = cand.join(short, "query_id", "left_anti").unionByName(fallback)
+    qv = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("ea")
+    ).withColumn("sqrt_na", F.sqrt(_norm2("ea")))
+    cv = emb.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb")
+    ).withColumn("sqrt_nb", F.sqrt(_norm2("eb")))
+    scored = _with_cosine_prenormed(
+        full_cand.join(F.broadcast(qv), "query_id").join(cv, "id_b"), "ea", "eb"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id_b").alias("neighbor_id"), "rnk", "cos_sim")
+    )
+
+
 def ivf_cells(
     emb: DataFrame,
     id_col: str,

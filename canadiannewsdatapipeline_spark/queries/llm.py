@@ -25,6 +25,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import attach_binary_payload, decode_features
 from ..operators.similarity import (
     ann_lsh_multitable_pairs,
+    ann_topk,
     cosine_pairs,
     cosine_topk,
 )
@@ -327,6 +328,91 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=_COS_THRESHOLD,
+        n_tables=_LSH_TABLES,
+        n_planes=_LSH_PLANES,
+    )
+
+
+# shared LSH bucket CTE (planes -> dots -> buckets) at the registered
+# L x k operating point — reused by the ANN pair and ANN top-k oracles
+_LSH_BUCKETS_CTE = f"""
+planes AS (
+  SELECT t.t, p.p, j.j,
+         CAST((ascii(substr(md5(CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
+  FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t) t,
+       (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, 63)) AS j) j
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         ROUND(SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.h), 6) AS dot
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+)"""
+
+
+@register(
+    "sim_topk_ann",
+    f"""
+    WITH {_LSH_BUCKETS_CTE},
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, b.vec_id AS id_b
+      FROM buckets qa
+      JOIN q ON qa.vec_id = q.vec_id
+      JOIN buckets b ON qa.t = b.t AND qa.bucket = b.bucket
+                    AND b.vec_id <> qa.vec_id
+    ),
+    cnt AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+    short AS (
+      SELECT q.vec_id AS query_id
+      FROM q LEFT JOIN cnt ON cnt.query_id = q.vec_id
+      WHERE COALESCE(cnt.n_cand, 0) < 5
+    ),
+    full_cand AS (
+      SELECT c.query_id, c.id_b FROM cand c
+      WHERE c.query_id NOT IN (SELECT query_id FROM short)
+      UNION ALL
+      SELECT s.query_id, e.vec_id AS id_b
+      FROM short s JOIN embeddings e ON e.vec_id <> s.query_id
+    ),
+    el AS (
+      SELECT c.query_id, c.id_b,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+      FROM full_cand c
+      JOIN embeddings ea ON ea.vec_id = c.query_id
+      JOIN embeddings eb ON eb.vec_id = c.id_b,
+           (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY c.query_id, c.id_b
+    ),
+    ranked AS (
+      SELECT query_id, id_b AS neighbor_id,
+             ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (sqrt(na) * sqrt(nb)), 4) DESC, id_b ASC) AS rnk
+      FROM el
+    )
+    SELECT query_id, neighbor_id, rnk, cos_sim FROM ranked WHERE rnk <= 5
+    """,
+    doc="ANN-backed top-k: LSH-bucket candidates exact-ranked, per-query brute-force fallback on shortfall",
+)
+def sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        F.col("vec_id") < 20,
+        k=5,
         n_tables=_LSH_TABLES,
         n_planes=_LSH_PLANES,
     )

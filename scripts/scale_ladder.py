@@ -105,6 +105,7 @@ HEADLINE_SUBSET = [
     # LSH (Theta(N^1.66) by theory — superlinear here is EXPECTED, see
     # _ann_lsh_prod), and the production-threshold LSH (near-flat)
     "sim_topk_cosine",
+    "sim_topk_ann",
     "sim_ann_lsh",
     "ann_lsh_prod_thresh",
     "text_quality",
