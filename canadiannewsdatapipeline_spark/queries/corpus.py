@@ -641,7 +641,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the end, UNROUNDED — the inputs are bit-identical
     across engines, and a final ROUND would reintroduce the string-vs-
     binary boundary flip on decimal-terminating averages (n = 2^a5^b
-    bigram counts)."""
+    bigram counts).
+
+    Scale shape: occurrences collapse to per-(doc, bigram) counts
+    FIRST (map-side combinable groupBy), so the scoring join moves
+    distinct (doc, bigram) triples, never the raw occurrence stream;
+    the unigram/vocab factors fold into the model itself (a
+    vocabulary-sized (w1, w2, logp) frame — broadcastable at 100 TB)
+    so no occurrence-level row ever joins on a second key. The
+    weighted sum cnt*logp is DECIMAL-exact, so the result is
+    bit-identical to per-occurrence summation."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -662,24 +671,43 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    # bi feeds both the model counts and the scoring join — persist so
-    # the bigram explode runs once (ContextCleaner reclaims it)
+    # occurrences -> per-(doc, bigram) counts: partial aggregation
+    # collapses repeats map-side, and every join below moves this
+    # (strictly smaller) frame instead of the occurrence stream. dw
+    # feeds both the model counts and the scoring join — persist so
+    # the bigram explode + first shuffle run once (ContextCleaner
+    # reclaims it)
     from pyspark.storagelevel import StorageLevel
 
-    bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    dw = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc = dw.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     logp = F.round(
         F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 9
     ).cast("decimal(18,9)")
-    scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(uni, "w1")
+    # fold unigram counts + vocab into the model: (w1, w2, logp) is
+    # vocabulary-sized (broadcast it on a cluster), so the scoring
+    # join below is the dw frame's ONLY occurrence-scale shuffle
+    model = (
+        bc.join(uni, "w1")
         .join(F.broadcast(vocab))
-        .select("doc_id", logp.alias("logp"))
+        .select("w1", "w2", logp.alias("logp"))
     )
+    scored = dw.join(model, ["w1", "w2"]).select("doc_id", "cnt", "logp")
+    # cnt * logp must stay exact at scale 9: bigint promotes to
+    # decimal(20,0) and the product's precision (20+18+1=39) overflows
+    # 38, so Spark silently drops the 9th fractional digit
+    # (allowPrecisionLoss). decimal(10,0) x decimal(18,9) ->
+    # decimal(29,9): exact, and 10 digits is plenty for a per-(doc,
+    # bigram) count. The weighted sum then equals per-occurrence
+    # summation bit-for-bit.
+    wsum = F.sum(F.col("cnt").cast("decimal(10,0)") * F.col("logp"))
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        F.sum("cnt").alias("n_bigrams"),
+        (wsum.cast("double") / F.sum("cnt")).alias("avg_logprob"),
     )
 
 

@@ -21,10 +21,22 @@ Replication scheme (copy i of K):
   dedup family (bigger LSH buckets, K-fold cluster sizes) rather than
   diluting it.
 
-Usage: python scripts/scale_ladder.py [K] [out_dir]
+Usage: python scripts/scale_ladder.py [K] [out_dir] [--fresh]
 (default K=10 -> ~sf1; prints one JSON line per rung plus a summary;
 SPARK_GRAFT_KEEP_LADDER=1 keeps the generated warehouses for reruns)
-"""
+
+``--fresh`` mode (round-4 addition): the twin-replication rungs are
+exactly the shape the exact-dedup cascade absorbs (every copy is an
+identical twin, so the quadratic stages see a CONSTANT distinct
+count). A flat twin ladder therefore proves the cascade works, but
+says nothing about how the dedup/ANN family scales when the corpus
+genuinely grows. --fresh replicates documents/embeddings with
+hash-derived NEW content instead (fresh token sequences; fresh
+uniform [-1,1]^64 vectors — same scheme as the fuzzer), so distinct
+counts grow K-fold, the cascade can collapse nothing, and the
+threshold-0.4 Theta(N^1.66) candidate bound + the production-0.85
+regime are measured on real growth. Only the dedup/similarity subset
+runs (the relational rows don't care how text was generated)."""
 
 from __future__ import annotations
 
@@ -117,7 +129,41 @@ HEADLINE_SUBSET = [
 ]
 
 
-def build_rung(con: duckdb.DuckDBPyConnection, k: int, out: str) -> None:
+# --fresh content generators: copy i = 0 passes the original through;
+# copies i > 0 get hash-derived NEW content (md5-seeded, so reruns are
+# deterministic). Documents keep their token count but draw fresh
+# letter-only tokens (digits stripped from an md5 window — a small
+# a-f alphabet, plenty of 3-gram shingle diversity). Embeddings get
+# 64 fresh uniform [-1, 1] components (random 64-dim directions:
+# pairwise cosines concentrate near 0, so threshold survivors stay
+# rare and the measurement isolates CANDIDATE volume, the LSH cost
+# driver, from true-pair output volume).
+_FRESH_TEXT = """
+    CASE WHEN i = 0 THEN text ELSE array_to_string(
+      [regexp_replace(
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                    || ':' || CAST(j AS VARCHAR)), 1, 10),
+         '[0-9]', '', 'g')
+       FOR j IN generate_series(
+         1, GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1))],
+      ' ')
+    END AS text"""
+
+_FRESH_VEC = """
+    CASE WHEN i = 0 THEN embedding ELSE
+      [CAST(CAST(concat('0x',
+              substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                         || ':' || CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+            / 8388607.5 - 1.0 AS FLOAT)
+       FOR j IN generate_series(1, 64)]
+    END AS embedding"""
+
+_FRESH_COLS = {"text": _FRESH_TEXT, "embedding": _FRESH_VEC}
+
+
+def build_rung(
+    con: duckdb.DuckDBPyConnection, k: int, out: str, fresh: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     tables = [
         f.removesuffix(".parquet")
@@ -139,8 +185,11 @@ def build_rung(con: duckdb.DuckDBPyConnection, k: int, out: str) -> None:
             r[0]
             for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         ]
+        fresh_here = fresh and t in ("documents", "embeddings")
         proj = ", ".join(
-            f"{c} + i * {STRIDES[c]} AS {c}" if c in STRIDES else c
+            f"{c} + i * {STRIDES[c]} AS {c}"
+            if c in STRIDES
+            else (_FRESH_COLS[c] if fresh_here and c in _FRESH_COLS else c)
             for c in cols
         )
         con.execute(
@@ -150,16 +199,36 @@ def build_rung(con: duckdb.DuckDBPyConnection, k: int, out: str) -> None:
         )
 
 
+# the cascade-sensitive subset --fresh measures (relational rows are
+# content-agnostic; rerunning them would just repeat the twin ladder)
+FRESH_SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "sim_topk_cosine",
+    "sim_topk_ann",
+    "sim_ann_lsh",
+    "ann_lsh_prod_thresh",
+]
+
+
 def main() -> int:
-    k_top = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_ladder"
+    args = [a for a in sys.argv[1:] if a != "--fresh"]
+    fresh = "--fresh" in sys.argv[1:]
+    k_top = int(args[0]) if len(args) > 0 else 10
+    base = (
+        args[1]
+        if len(args) > 1
+        else ("/tmp/scale_ladder_fresh" if fresh else "/tmp/scale_ladder")
+    )
     rungs = sorted({1, max(2, k_top // 3), k_top})
+    subset = FRESH_SUBSET if fresh else HEADLINE_SUBSET
 
     con = duckdb.connect()
     for k in rungs:
         out = f"{base}/x{k}"
         if not os.path.isdir(out):
-            build_rung(con, k, out)
+            build_rung(con, k, out, fresh)
 
     from canadiannewsdatapipeline_spark.queries import QUERIES
     from canadiannewsdatapipeline_spark.session import get_spark
@@ -169,7 +238,7 @@ def main() -> int:
     for k in rungs:
         out = f"{base}/x{k}"
         timings = {}
-        for name in HEADLINE_SUBSET:
+        for name in subset:
             fn = EXTRA_QUERIES.get(name) or QUERIES[name].fn
             fn(spark, out).write.format("noop").mode("overwrite").save()
             trials = []
@@ -186,7 +255,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "scale_ladder",
+                "metric": "scale_ladder_fresh" if fresh else "scale_ladder",
                 "rungs": {
                     r: {
                         "total_sec": s["total_sec"],
