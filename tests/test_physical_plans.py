@@ -211,3 +211,21 @@ def test_dedup_cascade_shuffles_keys_not_text(spark):
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "text#" not in line and " t#" not in line, (name, line)
+
+
+def test_bigram_lm_joins_counts_not_occurrences(spark):
+    # the LM scoring join must consume the per-(doc, bigram) COUNT
+    # aggregate, never the raw occurrence stream: occurrences collapse
+    # map-side first (partial_count before the exchange), and the
+    # unigram/vocab factors fold into the vocabulary-sized model frame
+    # so no occurrence-scale row joins on a second key
+    plan = _simple(spark, "text_bigram_logprob")
+    assert "partial_count" in plan
+    # the (doc_id, w1, w2) collapse exchange exists...
+    assert any(
+        "Exchange hashpartitioning" in l and "doc_id" in l and "w1" in l and "w2" in l
+        for l in plan.splitlines()
+    ), plan
+    # ...and the weighted decimal product keeps full scale-9 precision
+    # (a bigint product would silently truncate to scale 8)
+    assert "(10,0)" in plan
