@@ -229,6 +229,9 @@ def main() -> int:
         out = f"{base}/x{k}"
         if not os.path.isdir(out):
             build_rung(con, k, out, fresh)
+    # flush dirty pages before timing: parquet write-back racing the
+    # first timed scans inflated x33 q1 4x vs the (settled) x100 rung
+    os.sync()
 
     from canadiannewsdatapipeline_spark.queries import QUERIES
     from canadiannewsdatapipeline_spark.session import get_spark
