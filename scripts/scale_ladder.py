@@ -223,6 +223,13 @@ def main() -> int:
     )
     rungs = sorted({1, max(2, k_top // 3), k_top})
     subset = FRESH_SUBSET if fresh else HEADLINE_SUBSET
+    # optional row filter, e.g. to extend a regime's rungs without
+    # re-timing rows whose scaling law is already measured (the
+    # threshold-0.4 LSH row is ~N^2/2^k on fresh data BY DESIGN —
+    # see SCALE.md §Round-4 — and dominates any deep fresh rung)
+    only = os.environ.get("SPARK_GRAFT_LADDER_QUERIES")
+    if only:
+        subset = [q for q in subset if q in set(only.split(","))]
 
     con = duckdb.connect()
     for k in rungs:
