@@ -333,8 +333,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared LSH bucket CTE (planes -> dots -> buckets) at the registered
-# L x k operating point — reused by the ANN pair and ANN top-k oracles
+# LSH bucket CTE (planes -> dots -> buckets) at the registered L x k
+# operating point, used by the ANN top-k oracle below. sim_ann_lsh's
+# oracle above carries its own inline copy of the same derivation:
+# that oracle text is frozen for driver re-sampling (round-1 fix,
+# never re-confirmed), so it is not rewritten to share this constant —
+# if the bucket derivation ever changes, change BOTH in lockstep.
 _LSH_BUCKETS_CTE = f"""
 planes AS (
   SELECT t.t, p.p, j.j,

@@ -9,7 +9,6 @@ column pruning, and row-group skipping for free.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,46 +34,57 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-# session -> {path: (mtime, DataFrame)}. A DataFrame is an immutable
-# logical plan, so handing the same object to every query is safe; the
-# mtime invalidates when a warehouse is regenerated in place (the
-# fuzzer does this) and the stale entry is REPLACED, not accumulated,
-# so the cache is bounded by (live sessions x table paths). The outer
-# map is weak-keyed on the session object: a stopped/dropped session
-# releases its plans to GC instead of being pinned forever, and a
-# restarted session can never collide with a stale plan bound to a
-# stopped SparkContext. The listing/schema inference — several py4j
-# round-trips + a footer read per table per query — happens once per
-# session instead of once per call.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[float, DataFrame]]]" = (
-    weakref.WeakKeyDictionary()
-)
-
-# Sessions whose runtime confs we've already pinned. The grading driver
-# may hand us a session it built itself; every query depends on UTC
-# (timestamp literals/epoch constructors match the DuckDB oracle) and
-# nanosAsLong (events.ts physical type). Pinning is idempotent but each
-# conf.set is a py4j round trip, so it runs once per session, not once
-# per load_table call.
-_CONF_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+# The per-session {path: (mtime, DataFrame)} plan cache lives ON the
+# session object as a private attribute, not in a module-global map. A
+# DataFrame is an immutable logical plan, so handing the same object to
+# every query is safe; the mtime invalidates when a warehouse is
+# regenerated in place (the fuzzer does this) and the stale entry is
+# REPLACED, not accumulated, so the cache is bounded by table paths.
+# Why an attribute and not a WeakKeyDictionary keyed on the session:
+# every cached DataFrame strongly references its SparkSession
+# (pyspark/sql/classic/dataframe.py `self._session`), and a weak-keyed
+# map still holds its VALUES strongly, so a value that refers back to
+# its key pins the key forever — the documented WeakKeyDictionary
+# caveat. As a session attribute the whole cache is a pure
+# session -> dict -> DataFrame -> session reference cycle with no
+# global root, so the cycle collector reclaims a dropped session and
+# all its plans, and a restarted session can never collide with a
+# stale plan bound to a stopped SparkContext. The listing/schema
+# inference — several py4j round-trips + a footer read per table per
+# query — still happens once per session instead of once per call.
+_CACHE_ATTR = "_cndp_table_cache"
+_PINNED_ATTR = "_cndp_confs_pinned"
 
 
-def _pin_session_confs(spark: SparkSession) -> None:
-    if spark in _CONF_PINNED:
+def _pin_session_confs(spark: SparkSession, repin: bool = False) -> None:
+    """Pin the runtime confs every query depends on: UTC session TZ
+    (timestamp literals/epoch constructors match the DuckDB oracle) and
+    nanosAsLong (events.ts physical type). The grading driver may hand
+    us a session it built itself. Each conf.set is a py4j round trip,
+    so the hot path (memoized table hits) runs this once per session;
+    cold loads (new table / regenerated warehouse) pass repin=True to
+    re-assert the confs in case co-resident code changed them since —
+    partial self-healing at every load boundary without per-call
+    chatter."""
+    if getattr(spark, _PINNED_ATTR, False) and not repin:
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _CONF_PINNED.add(spark)
+    setattr(spark, _PINNED_ATTR, True)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     mtime = os.path.getmtime(path)
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
     hit = per_session.get(path)
     if hit is not None and hit[0] == mtime:
         return hit[1]
+    _pin_session_confs(spark, repin=True)
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(col)

@@ -165,6 +165,11 @@ def build_rung(
     con: duckdb.DuckDBPyConnection, k: int, out: str, fresh: bool = False
 ) -> None:
     os.makedirs(out, exist_ok=True)
+    # stamp the build mode so a kept warehouse can never be silently
+    # re-timed under the other mode's label (fresh rows timed on twin
+    # data would measure the cascade's collapse, not fresh scaling)
+    with open(os.path.join(out, "LADDER_MODE"), "w") as fh:
+        fh.write("fresh" if fresh else "twin")
     tables = [
         f.removesuffix(".parquet")
         for f in sorted(os.listdir(SRC))
@@ -229,13 +234,38 @@ def main() -> int:
     # see SCALE.md §Round-4 — and dominates any deep fresh rung)
     only = os.environ.get("SPARK_GRAFT_LADDER_QUERIES")
     if only:
-        subset = [q for q in subset if q in set(only.split(","))]
+        wanted = set(only.split(","))
+        unknown = sorted(wanted - set(subset))
+        if unknown:
+            print(
+                f"WARNING: SPARK_GRAFT_LADDER_QUERIES names not in the "
+                f"{'fresh' if fresh else 'twin'} subset, dropped: {unknown}",
+                file=sys.stderr,
+            )
+        subset = [q for q in subset if q in wanted]
+        if not subset:
+            print("ERROR: query filter left nothing to time", file=sys.stderr)
+            return 2
 
+    mode = "fresh" if fresh else "twin"
     con = duckdb.connect()
     for k in rungs:
         out = f"{base}/x{k}"
         if not os.path.isdir(out):
             build_rung(con, k, out, fresh)
+        else:
+            marker = os.path.join(out, "LADDER_MODE")
+            stamped = (
+                open(marker).read().strip() if os.path.isfile(marker) else "<absent>"
+            )
+            if stamped != mode:
+                print(
+                    f"ERROR: {out} was built in {stamped!r} mode but this is a "
+                    f"{mode!r} run — timings would be silently mislabeled. "
+                    f"Delete the directory or point at a different base.",
+                    file=sys.stderr,
+                )
+                return 2
     # flush dirty pages before timing: parquet write-back racing the
     # first timed scans inflated x33 q1 4x vs the (settled) x100 rung
     os.sync()

@@ -113,3 +113,30 @@ def test_load_table_caches_and_invalidates_on_rewrite(spark, sf_dir, tmp_path):
     b = load_table(spark, str(wh), "region")
     assert b is not a
     assert b.count() == 3
+
+
+def test_dropped_session_is_not_pinned_by_table_cache(spark, sf_dir):
+    """The plan cache lives on the session object (a collectable
+    session->dict->DataFrame->session cycle), not in a module-global
+    container. A global map — including a WeakKeyDictionary, whose
+    VALUES are strong and here reference their key via
+    DataFrame._session — would root every session forever, leaking
+    plans across the restarts a long fuzz/bench process performs."""
+    import gc
+    import weakref
+
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    s2 = spark.newSession()
+    df = load_table(s2, sf_dir, "region")
+    assert df.sparkSession is s2
+    ref = weakref.ref(s2)
+    # pyspark itself roots the most recently created session: every
+    # SparkSession.__init__ re-runs _monkey_patch_RDD, whose toDF
+    # closure captures the session on the RDD class. Create a newer
+    # session to displace that global before asserting ours collects.
+    s3 = spark.newSession()
+    del df, s2
+    gc.collect()
+    assert ref() is None, "table cache still roots the dropped session"
+    del s3
