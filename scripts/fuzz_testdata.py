@@ -22,6 +22,13 @@ Usage: python scripts/fuzz_testdata.py [out_dir]   (default
 
 A mismatch against the fuzzed warehouse means a query's determinism
 contract has a hole the current round's data simply hasn't hit yet.
+
+--shuffle-seed N additionally rewrites every table in seeded-random
+row order. No registered query may depend on parquet file order:
+Spark's multi-split scan and DuckDB's parallel scan already read in
+different orders, but small tables often fit one split and hide an
+under-specified tiebreak until the driver regenerates data. A
+shuffled warehouse makes any order-dependence diverge immediately.
 """
 
 from __future__ import annotations
@@ -38,7 +45,13 @@ TABLES = (
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzzdata"
+    args = sys.argv[1:]
+    shuffle_seed = None
+    if "--shuffle-seed" in args:
+        i = args.index("--shuffle-seed")
+        shuffle_seed = float(args[i + 1])
+        del args[i : i + 2]
+    out = args[0] if args else "/tmp/fuzzdata"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -118,10 +131,17 @@ def main() -> int:
     )
 
     for t in TABLES:
-        con.execute(f"COPY {t} TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        order = ""
+        if shuffle_seed is not None:
+            # setseed makes random() reproducible; a fresh call per
+            # table keeps each table's permutation independent
+            con.execute(f"SELECT setseed({shuffle_seed})")
+            order = " ORDER BY random()"
+        con.execute(f"COPY (SELECT * FROM {t}{order}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
         print(f"{t}: {n} rows")
-    print(f"fuzz warehouse written to {out}")
+    mode = f" (row-shuffled, seed {shuffle_seed})" if shuffle_seed is not None else ""
+    print(f"fuzz warehouse written to {out}{mode}")
     return 0
 
 

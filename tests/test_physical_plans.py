@@ -10,8 +10,18 @@ from canadiannewsdatapipeline_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+def _fresh_df(spark, name: str):
+    # bypass the registry's plan cache: plan-shape assertions need a
+    # fresh, never-executed DataFrame — a memoized one that an earlier
+    # test already ran has a finalized AdaptiveSparkPlan, and explain
+    # then prints BOTH the initial and final plans (doubling node
+    # counts)
+    fn = QUERIES[name].fn
+    return getattr(fn, "__wrapped__", fn)(spark, SF)
+
+
 def _formatted(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    df = _fresh_df(spark, name)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -24,7 +34,7 @@ def test_q1_scan_pushdown_and_pruning(spark):
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_orderkey" not in read and "l_partkey" not in read
     # map-side partial aggregation before the exchange (combine at scale)
-    df = QUERIES["q1_pricing_summary"].fn(spark, SF)
+    df = _fresh_df(spark, "q1_pricing_summary")
     simple = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
@@ -51,7 +61,7 @@ def test_q2_semi_join_prunes_lineitem_before_window(spark):
     LeftSemi prune sits below the window exchange (so the exchange
     carries pruned rows), and that the rank-1 limit is pushed map-side
     (partial WindowGroupLimit before the shuffle)."""
-    df = QUERIES["q2_enriched_join_dedup"].fn(spark, SF)
+    df = _fresh_df(spark, "q2_enriched_join_dedup")
     simple = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
@@ -86,7 +96,7 @@ def test_backfill_has_no_join(spark):
 
 
 def _simple(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    df = _fresh_df(spark, name)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )

@@ -11,8 +11,18 @@ from canadiannewsdatapipeline_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+def _fresh_df(spark, name: str):
+    # bypass the registry's plan cache: plan-shape assertions need a
+    # fresh, never-executed DataFrame — a memoized one that an earlier
+    # test already ran has a finalized AdaptiveSparkPlan, and explain
+    # then prints BOTH the initial and final plans (doubling node
+    # counts)
+    fn = QUERIES[name].fn
+    return getattr(fn, "__wrapped__", fn)(spark, SF)
+
+
 def _formatted(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    df = _fresh_df(spark, name)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
