@@ -177,6 +177,31 @@ def test_query_plan_cache_memoizes_and_invalidates(spark, sf_dir, tmp_path):
     assert total_b == 50 and total_a > 50, (total_a, total_b)
 
 
+def test_dropped_session_is_not_pinned_by_plan_cache(spark, sf_dir):
+    """Same lifecycle contract as the table cache: the plan cache is
+    an attribute ON the session (session->dict->DataFrame->session is
+    a collectable cycle), so a stopped/dropped session and all its
+    memoized plans are reclaimable — a module-global map would root
+    them forever across a long fuzz/bench process."""
+    import gc
+    import weakref
+
+    from canadiannewsdatapipeline_spark.queries import QUERIES
+
+    s2 = spark.newSession()
+    df = QUERIES["q3_value_counts"].fn(s2, sf_dir)
+    assert df.sparkSession is s2
+    assert getattr(s2, "_cndp_plan_cache", None), "cache not on session"
+    ref = weakref.ref(s2)
+    # displace pyspark's most-recent-session global (see the table
+    # cache twin above)
+    s3 = spark.newSession()
+    del df, s2
+    gc.collect()
+    assert ref() is None, "plan cache still roots the dropped session"
+    del s3
+
+
 def test_stream_queries_are_not_plan_cached():
     """The streaming twins execute a micro-batch job inside the call;
     memoizing them would skip the re-execution a repeat caller asked
