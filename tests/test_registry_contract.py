@@ -177,6 +177,33 @@ def test_query_plan_cache_memoizes_and_invalidates(spark, sf_dir, tmp_path):
     assert total_b == 50 and total_a > 50, (total_a, total_b)
 
 
+def test_driver_entry_and_bench_contract():
+    """The grading driver imports __spark_entry__ (entry / queries /
+    oracle_sql) and parses bench.py's JSON; a headline row that was
+    renamed out of the registry, or an entry surface drifting from the
+    registry maps, would fail only at grading time without this pin."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.entry)
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert q.keys() == query_map().keys()
+    assert o.keys() == oracle_sql_map().keys()
+
+    bench_spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(bench_spec)
+    bench_spec.loader.exec_module(bench)
+    missing = sorted(set(bench.HEADLINE) - set(q))
+    assert not missing, f"bench HEADLINE rows not registered: {missing}"
+
+
 def test_dropped_session_is_not_pinned_by_plan_cache(spark, sf_dir):
     """Same lifecycle contract as the table cache: the plan cache is
     an attribute ON the session (session->dict->DataFrame->session is
