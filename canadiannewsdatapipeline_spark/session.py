@@ -45,6 +45,14 @@ def get_spark(app_name: str = "newsflow", master: str | None = None) -> SparkSes
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
         )
+        # keep the managed-table warehouse out of the checkout: the
+        # default ("spark-warehouse" under CWD) litters the repo root
+        # on every pytest/bench run even though no query here creates
+        # managed tables
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR", "/tmp/cndp-spark-warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -51,6 +51,15 @@ def main() -> int:
         i = args.index("--shuffle-seed")
         shuffle_seed = float(args[i + 1])
         del args[i : i + 2]
+        # DuckDB setseed() only accepts [-1, 1] and fails with an
+        # opaque error mid-COPY otherwise; reject bad seeds up front
+        if not -1.0 <= shuffle_seed <= 1.0:
+            print(
+                f"ERROR: --shuffle-seed must be in [-1, 1] (DuckDB setseed "
+                f"domain), got {shuffle_seed}",
+                file=sys.stderr,
+            )
+            return 2
     out = args[0] if args else "/tmp/fuzzdata"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -130,12 +139,15 @@ def main() -> int:
         """
     )
 
-    for t in TABLES:
+    for idx, t in enumerate(TABLES):
         order = ""
         if shuffle_seed is not None:
-            # setseed makes random() reproducible; a fresh call per
-            # table keeps each table's permutation independent
-            con.execute(f"SELECT setseed({shuffle_seed})")
+            # setseed makes random() reproducible; derive a distinct
+            # per-table seed (folded back into setseed's [-1, 1]
+            # domain) so each table draws its own random stream —
+            # reseeding with the SAME value would replay one stream
+            seed_t = ((shuffle_seed + 1.0 + idx * 0.0618) % 2.0) - 1.0
+            con.execute(f"SELECT setseed({seed_t})")
             order = " ORDER BY random()"
         con.execute(f"COPY (SELECT * FROM {t}{order}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]

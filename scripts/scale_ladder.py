@@ -165,11 +165,6 @@ def build_rung(
     con: duckdb.DuckDBPyConnection, k: int, out: str, fresh: bool = False
 ) -> None:
     os.makedirs(out, exist_ok=True)
-    # stamp the build mode so a kept warehouse can never be silently
-    # re-timed under the other mode's label (fresh rows timed on twin
-    # data would measure the cascade's collapse, not fresh scaling)
-    with open(os.path.join(out, "LADDER_MODE"), "w") as fh:
-        fh.write("fresh" if fresh else "twin")
     tables = [
         f.removesuffix(".parquet")
         for f in sorted(os.listdir(SRC))
@@ -202,6 +197,13 @@ def build_rung(
             f"(SELECT unnest(generate_series(0, {k - 1})) AS i) g) "
             f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
         )
+    # stamp the build mode LAST so the marker doubles as a completion
+    # sentinel: an interrupted build leaves no marker, and a kept
+    # warehouse can never be silently re-timed under the other mode's
+    # label (fresh rows timed on twin data would measure the cascade's
+    # collapse, not fresh scaling)
+    with open(os.path.join(out, "LADDER_MODE"), "w") as fh:
+        fh.write("fresh" if fresh else "twin")
 
 
 # the cascade-sensitive subset --fresh measures (relational rows are
@@ -251,13 +253,16 @@ def main() -> int:
     con = duckdb.connect()
     for k in rungs:
         out = f"{base}/x{k}"
+        marker = os.path.join(out, "LADDER_MODE")
+        if os.path.isdir(out) and not os.path.isfile(marker):
+            # no completion sentinel => an interrupted build left a
+            # partial warehouse; rebuild rather than time bad data
+            print(f"NOTE: {out} exists without LADDER_MODE — rebuilding", file=sys.stderr)
+            shutil.rmtree(out)
         if not os.path.isdir(out):
             build_rung(con, k, out, fresh)
         else:
-            marker = os.path.join(out, "LADDER_MODE")
-            stamped = (
-                open(marker).read().strip() if os.path.isfile(marker) else "<absent>"
-            )
+            stamped = open(marker).read().strip()
             if stamped != mode:
                 print(
                     f"ERROR: {out} was built in {stamped!r} mode but this is a "

@@ -26,7 +26,12 @@ def _derby_url(tmp_path_factory) -> str:
 
 
 @pytest.fixture(scope="module")
-def derby_url(tmp_path_factory):
+def derby_url(spark, tmp_path_factory):
+    # Derby writes derby.log to user.dir (the repo root under pytest)
+    # unless told otherwise; point it at the test tmp dir BEFORE the
+    # embedded driver first loads, which is when the property is read
+    log = tmp_path_factory.mktemp("derby") / "derby.log"
+    spark.sparkContext._jvm.System.setProperty("derby.stream.error.file", str(log))
     return _derby_url(tmp_path_factory)
 
 
