@@ -355,6 +355,34 @@ def ann_lsh_multitable_pairs(
     query's RDDs are unreferenced — on a 100 TB run swap the persists
     for checkpoints to cluster storage (the two-phase shape
     plans/runner.py uses)."""
+    return _exact_dup_cascade(
+        emb,
+        id_col,
+        vec_col,
+        threshold,
+        lambda reps: _ann_lsh_multitable_distinct(
+            reps, id_col, vec_col, threshold, n_tables, n_planes, dim
+        ),
+    )
+
+
+def _exact_dup_cascade(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    rep_pairs_fn,
+) -> DataFrame:
+    """Exact-dup collapse wrapper shared by the LSH pair pipelines
+    (see ``ann_lsh_multitable_pairs`` for the full rationale):
+    collapse identical vectors to min-id representatives, run
+    ``rep_pairs_fn(reps)`` (any pipeline whose candidate test depends
+    only on the vector VALUE — identical inputs always collide and
+    carry identical cosines) over distinct vectors, then expand
+    verified rep pairs back to member pairs and add within-group
+    self-pairs. Output-identical to running the flat pipeline on the
+    raw frame; equivalence pinned by tests/test_dedup_cascade.py and
+    test_similarity.py."""
     from pyspark.storagelevel import StorageLevel
 
     e = emb.select(
@@ -376,9 +404,7 @@ def ann_lsh_multitable_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     reps = groups.select(F.col("rid").alias(id_col), F.col("mv").alias(vec_col))
-    rep_pairs = _ann_lsh_multitable_distinct(
-        reps, id_col, vec_col, threshold, n_tables, n_planes, dim
-    )
+    rep_pairs = rep_pairs_fn(reps)
     cross = (
         rep_pairs.join(
             mapping.select(F.col("rid").alias("id_a"), F.col("mid").alias("ma")),
@@ -422,6 +448,310 @@ def ann_lsh_multitable_pairs(
     return cross.unionByName(within)
 
 
+def _pool_subsets(pool: int, n_bits: int, n_tables: int) -> list[list[int]]:
+    """Table ``t``'s bit subset: rank the pool bits by
+    ``md5('sub:t:j')`` (hex-string order, ``j`` tiebreak) and take the
+    first ``n_bits`` — reproducible in any engine with md5 (the DuckDB
+    oracle derives the identical subsets with a ROW_NUMBER over the
+    same ordering)."""
+    import hashlib
+
+    return [
+        sorted(
+            range(pool),
+            key=lambda j: (hashlib.md5(f"sub:{t}:{j}".encode()).hexdigest(), j),
+        )[:n_bits]
+        for t in range(n_tables)
+    ]
+
+
+def _probe_masks(n_bits: int, probe_radius: int) -> list[int]:
+    """XOR masks for multi-probe: the zero mask, every 1-bit flip, and
+    (radius 2) every 2-bit flip of a ``n_bits``-wide bucket."""
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << i for i in range(n_bits)]
+    if probe_radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    return masks
+
+
+_WORD_BITS = 63  # bits per packed signature word (bit 63 would overflow
+# DuckDB's left shift and flip Spark's sign bit; 63 keeps both engines
+# in well-defined positive-long territory)
+
+
+def _mp_signature_gen(pool: int, n_bits: int, n_tables: int, dim: int):
+    """Arrow-batch signature kernel for the multi-probe pipeline:
+    (id, v) -> (id, packed 63-bit words, per-table bucket array).
+
+    Planes use the engine's md5 formula (``_plane`` family, ``mp:``
+    namespace) evaluated once driver-side; subsets via
+    ``_pool_subsets``. Word m packs pool bits [m*63, m*63+62] first-
+    bit-most-significant; table t's bucket packs its subset bits the
+    same way — both formulas are mirrored literally in the DuckDB
+    oracle (queries/llm.py::sim_ann_lsh_multiprobe)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [
+                (ord(hashlib.md5(f"mp:{j}:{c}".encode()).hexdigest()[0]) % 7) - 3
+                for c in range(dim)
+            ]
+            for j in range(pool)
+        ],
+        dtype=np.float64,
+    )
+    subs = np.array(_pool_subsets(pool, n_bits, n_tables), dtype=np.int64)
+    weights = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
+    n_words = pool // _WORD_BITS
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (np.round(vecs @ planes.T, 6) >= 0).astype(np.int64)
+            out = {"id": pdf["id"].to_numpy()}
+            for m in range(n_words):
+                seg = bits[:, m * _WORD_BITS : (m + 1) * _WORD_BITS]
+                word = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(_WORD_BITS):
+                    word = word * 2 + seg[:, b]
+                out[f"w{m}"] = word
+            buckets = (bits[:, subs] * weights).sum(axis=2)
+            out["bk"] = list(buckets)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def _ann_lsh_multiprobe_distinct(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    pool: int,
+    n_bits: int,
+    n_tables: int,
+    probe_radius: int,
+    hamming_max: int,
+    dim: int,
+) -> DataFrame:
+    """Bit-pool multi-probe sign-LSH over ALREADY-DISTINCT vectors.
+
+    The round-4 ``sim_ann_lsh`` operating point (16 tables x 4 planes)
+    is superlinear on genuinely-distinct vectors at threshold 0.4
+    (measured 65 s at fresh-x10, SCALE_LADDER_FRESH_r04.json): 16
+    buckets per table cannot prune at a 66-degree threshold, and every
+    candidate pays a full 64-dim exact cosine. This pipeline attacks
+    both factors:
+
+    - **Bit pool**: hash each vector ONCE into a ``pool``-bit sign
+      signature (md5-derived hyperplanes, the ``_plane`` formula under
+      the ``mp:`` namespace, evaluated as one Arrow-batched numpy
+      matmul — ``_mp_signature_gen``). Tables are
+      ``n_bits``-subsets of the pool (md5-ranked, ``_pool_subsets``),
+      so adding tables costs integer bit-gathers, not new hyperplane
+      dots — L can be sized for recall without re-hashing. Measured
+      (offline sweep, sf0.01 + ladder-fresh vectors): with free
+      tables, selectivity-per-unit-recall favors deep k + neighbor
+      probing over the shallow-k wide-bucket shape.
+    - **Multi-probe**: each home bucket also probes its
+      Hamming-``probe_radius`` neighbor buckets (XOR masks — flip 1
+      [+2] of the ``n_bits`` bits), recovering the recall a deep k
+      loses: a true pair colliding on k-1 of k bits is still found.
+      Probe rows are (id, tbl, bucket) ints only — vectors and
+      signatures never ride the bucket shuffle.
+    - **Hamming prefilter**: candidate pairs are screened by popcount
+      distance over the packed ``pool``-bit signature (4 xor + 4
+      bit_count on 63-bit words via a broadcast signature table)
+      BEFORE the exact cosine. At the default operating point the
+      prefilter passes ~12% of candidates (measured), so ~88% of the
+      candidate stream costs ~10 integer ops instead of a 64-dim
+      double fold. ``hamming_max`` is part of the operator's contract
+      (the oracle applies the same screen); recall vs the exact tier
+      is measured and reported in SCALE.md, not assumed.
+
+    Defaults (pool=252, k=12, L=160, r=1, H=112) measured at sf0.01:
+    recall 59/59 true pairs at threshold 0.4 (the r4 operating point:
+    58/59), candidate volume 0.67 of all pairs as popcount-only rows,
+    exact verifies 12%. On ladder-fresh vectors (2000): 985/1005 =
+    98.0% recall. At a production near-dup threshold (>= 0.85) the
+    same pool supports deeper k at full recall.
+
+    Scale notes: the signature table (id + 4 longs) and the vector
+    side of the exact verify are broadcast here (<= tens of MB at
+    ladder scale); at 100 TB both become shuffle joins on the
+    POST-PREFILTER survivor stream — the candidate stream itself
+    still never shuffles (it is born and screened inside the
+    (tbl, bucket) join stage). ``sigs`` is persisted: three consumers
+    (homes, probes, signature words); ContextCleaner unpersists when
+    unreferenced, swap for checkpoints on a cluster."""
+    from pyspark.storagelevel import StorageLevel
+
+    n_words = (pool + _WORD_BITS - 1) // _WORD_BITS
+    if pool % _WORD_BITS:
+        raise ValueError(f"pool must be a multiple of {_WORD_BITS}")
+
+    # A vector with a NULL (or NULL-element) embedding can never reach
+    # the output — its cosine is NULL and every threshold/screen drops
+    # it — so excluding it from the signature stage is output-exact.
+    e = emb.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+
+    # Signature stage: ONE Arrow-batched mapInPandas doing a numpy
+    # matmul, NOT 252 per-plane Catalyst folds. Measured on the fold
+    # shape at sf0.1: 35 s of analysis for the 252 wide-literal plane
+    # trees plus ~10 s of optimizer work PER ACTION re-walking them —
+    # the pool is 4x the 64-plane budget the r3 measurements sized the
+    # literal-fold shape for, and the plan cost scales with it. The
+    # matmul keeps the planes/subsets in the task closure (zero plan
+    # footprint) and hashes a 60k-vector corpus in ~0.1 s. Sign
+    # semantics are preserved: float64 accumulate, round to 6 dp, then
+    # >= 0 — the only place numpy's half-even could diverge from the
+    # engines' half-up is a dot landing EXACTLY on a .5e-6 boundary,
+    # which no dyadic-rational dot of float32-derived components can
+    # hit (5e-7 is not representable in binary).
+    sig_schema = (
+        "id long, "
+        + ", ".join(f"w{m} long" for m in range(n_words))
+        + ", bk array<long>"
+    )
+    sigs = e.mapInPandas(
+        _mp_signature_gen(pool, n_bits, n_tables, dim), sig_schema
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    masks = _probe_masks(n_bits, probe_radius)
+
+    homes = sigs.select("id", F.posexplode("bk").alias("tbl", "bucket"))
+    mask_arr = F.expr("array(" + ",".join(str(m) for m in masks) + ")")
+    probes = homes.select(
+        F.col("id").alias("id_a"),
+        "tbl",
+        F.explode(mask_arr).alias("mask"),
+        "bucket",
+    ).select(
+        "id_a", "tbl", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
+    )
+    # candidate pairs are born map-side inside this join's stage and
+    # screened immediately — they never shuffle. id_a < id_b keeps
+    # each (pair, table, flip) once (the XOR-difference mask is
+    # symmetric) and drops the mask-0 self-join.
+    cand = (
+        probes.join(
+            homes.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    words = sigs.select("id", *[f"w{m}" for m in range(n_words)])
+    wa = words.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"w{m}").alias(f"wa{m}") for m in range(n_words)],
+    )
+    wb = words.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"w{m}").alias(f"wb{m}") for m in range(n_words)],
+    )
+    hamming = None
+    for m in range(n_words):
+        term = F.bit_count(F.col(f"wa{m}").bitwiseXOR(F.col(f"wb{m}")))
+        hamming = term if hamming is None else hamming + term
+    screened = (
+        cand.join(F.broadcast(wa), "id_a")
+        .join(F.broadcast(wb), "id_b")
+        .filter(hamming <= hamming_max)
+        .select("id_a", "id_b")
+    )
+    ev = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("sn", F.sqrt(_norm2("v")))
+    verified = (
+        screened.join(
+            F.broadcast(
+                ev.select(
+                    F.col("id").alias("id_a"),
+                    F.col("v").alias("ea"),
+                    F.col("sn").alias("sqrt_na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                ev.select(
+                    F.col("id").alias("id_b"),
+                    F.col("v").alias("eb"),
+                    F.col("sn").alias("sqrt_nb"),
+                )
+            ),
+            "id_b",
+        )
+    )
+    return (
+        _with_cosine_prenormed(verified, "ea", "eb")
+        .filter(F.col("cos_sim") >= threshold)
+        # pair-dedup AFTER the threshold via explicit aggregate (a pair
+        # can collide in several tables/probes; duplicate rows carry
+        # identical cosines so max() is value-exact — and see
+        # _ann_lsh_multitable_distinct for why not dropDuplicates)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+
+
+def ann_lsh_multiprobe_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    pool: int = 252,
+    n_bits: int = 12,
+    n_tables: int = 160,
+    probe_radius: int = 1,
+    hamming_max: int = 112,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
+    sign-LSH with a packed-signature Hamming prefilter, wrapped in the
+    exact-dup cascade (identical vectors collapse to representatives
+    before the quadratic stages — see ``ann_lsh_multitable_pairs``).
+    The cascade is output-equivalent here too: identical vectors share
+    every pool bit, hence every bucket, every probe, a zero Hamming
+    distance, and the same rounded cosines. See
+    ``_ann_lsh_multiprobe_distinct`` for the algorithm and measured
+    operating point."""
+    return _exact_dup_cascade(
+        emb,
+        id_col,
+        vec_col,
+        threshold,
+        lambda reps: _ann_lsh_multiprobe_distinct(
+            reps,
+            id_col,
+            vec_col,
+            threshold,
+            pool,
+            n_bits,
+            n_tables,
+            probe_radius,
+            hamming_max,
+            dim,
+        ),
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     id_col: str,
@@ -450,8 +780,12 @@ def ann_topk(
     corpus bucket frame is persisted — the query side reads it too;
     Spark's ContextCleaner unpersists once unreferenced. Brute-force
     fallback volume is |short queries| x N — bounded by the ANN
-    operating point, and degrades toward ``cosine_topk`` (never worse)
-    if the tables are mistuned."""
+    operating point. Worst case (ALL queries short, i.e. mistuned
+    tables) measured at sf0.1: 0.95 s vs 0.37 s for ``cosine_topk``
+    and 0.67 s for the tuned point — i.e. the degradation is the
+    exact tier PLUS the linear hash/bucket-count overhead, never
+    quadratically worse; the fallback side is plan-asserted broadcast
+    (tests/test_physical_plans.py::test_ann_topk_fallback_side_is_broadcast)."""
     from pyspark.storagelevel import StorageLevel
 
     qids = emb.filter(query_filter).select(F.col(id_col).alias("query_id"))

@@ -24,6 +24,8 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_binary_payload, decode_features
 from ..operators.similarity import (
+    _probe_masks,
+    ann_lsh_multiprobe_pairs,
     ann_lsh_multitable_pairs,
     ann_topk,
     cosine_pairs,
@@ -330,6 +332,113 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_COS_THRESHOLD,
         n_tables=_LSH_TABLES,
         n_planes=_LSH_PLANES,
+    )
+
+
+# Bit-pool multi-probe operating point (round 5, the scale-safe
+# configuration for the threshold-0.4 contract — sim_ann_lsh's frozen
+# 16x4 point is superlinear on fresh vectors, SCALE.md §Round-5).
+# Measured at sf0.01: recall 59/59 true pairs (the 16x4 point: 58/59);
+# on ladder-fresh vectors (n=2000): 985/1005 = 98.0%.
+_MP_POOL = 252
+_MP_BITS = 12
+_MP_TABLES = 160
+_MP_RADIUS = 1
+_MP_HAMMING = 112
+
+_MP_MASKS = ", ".join(str(m) for m in _probe_masks(_MP_BITS, _MP_RADIUS))
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    f"""
+    WITH planes AS (
+      SELECT j.j, c.c,
+             CAST((ascii(substr(md5('mp:' || CAST(j.j AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
+      FROM (SELECT unnest(generate_series(0, {_MP_POOL - 1})) AS j) j,
+           (SELECT unnest(generate_series(0, 63)) AS c) c
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.j,
+             CASE WHEN ROUND(SUM(CAST(e.embedding[pl.c + 1] AS DOUBLE) * pl.h), 6) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.j
+    ),
+    words AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN j BETWEEN 0 AND 62 THEN CAST(bit AS BIGINT) << (62 - j) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN j BETWEEN 63 AND 125 THEN CAST(bit AS BIGINT) << (125 - j) ELSE 0 END) AS BIGINT) AS w1,
+             CAST(SUM(CASE WHEN j BETWEEN 126 AND 188 THEN CAST(bit AS BIGINT) << (188 - j) ELSE 0 END) AS BIGINT) AS w2,
+             CAST(SUM(CASE WHEN j BETWEEN 189 AND 251 THEN CAST(bit AS BIGINT) << (251 - j) ELSE 0 END) AS BIGINT) AS w3
+      FROM bits GROUP BY vec_id
+    ),
+    subsets AS (
+      SELECT t, j, rn - 1 AS i FROM (
+        SELECT t.t, j.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.t
+                 ORDER BY md5('sub:' || CAST(t.t AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), j.j) AS rn
+        FROM (SELECT unnest(generate_series(0, {_MP_TABLES - 1})) AS t) t,
+             (SELECT unnest(generate_series(0, {_MP_POOL - 1})) AS j) j
+      ) WHERE rn <= {_MP_BITS}
+    ),
+    buckets AS (
+      SELECT b.vec_id, s.t,
+             CAST(SUM(CAST(b.bit AS BIGINT) << ({_MP_BITS - 1} - s.i)) AS BIGINT) AS bucket
+      FROM bits b JOIN subsets s ON s.j = b.j
+      GROUP BY b.vec_id, s.t
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS id_a, h.vec_id AS id_b
+      FROM buckets p,
+           (SELECT unnest([{_MP_MASKS}]) AS mask) m,
+           buckets h
+      WHERE h.t = p.t
+        AND h.bucket = xor(p.bucket, CAST(m.mask AS BIGINT))
+        AND p.vec_id < h.vec_id
+    ),
+    screened AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN words a ON a.vec_id = c.id_a
+      JOIN words b ON b.vec_id = c.id_b
+      -- bit_count returns TINYINT in DuckDB; the 4-word sum can reach
+      -- 252 and overflows 127 without the widening cast
+      WHERE CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER)
+          + CAST(bit_count(xor(a.w1, b.w1)) AS INTEGER)
+          + CAST(bit_count(xor(a.w2, b.w2)) AS INTEGER)
+          + CAST(bit_count(xor(a.w3, b.w3)) AS INTEGER) <= {_MP_HAMMING}
+    ),
+    el AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+             SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+             SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+      FROM screened c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b,
+           (SELECT unnest(generate_series(1, 64)) AS i) g
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM el
+    WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 4) >= {_COS_THRESHOLD}
+    """,
+    doc="bit-pool multi-probe sign-LSH + Hamming prefilter + exact verify (scale path for threshold 0.4)",
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_COS_THRESHOLD,
+        pool=_MP_POOL,
+        n_bits=_MP_BITS,
+        n_tables=_MP_TABLES,
+        probe_radius=_MP_RADIUS,
+        hamming_max=_MP_HAMMING,
     )
 
 

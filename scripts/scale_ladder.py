@@ -112,13 +112,16 @@ HEADLINE_SUBSET = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
-    # three similarity tiers on the same corpus: the exact baseline
-    # (linear in N for fixed queries), the registered threshold-0.4
+    # four similarity tiers on the same corpus: the exact baseline
+    # (linear in N for fixed queries), the frozen-oracle threshold-0.4
     # LSH (Theta(N^1.66) by theory — superlinear here is EXPECTED, see
-    # _ann_lsh_prod), and the production-threshold LSH (near-flat)
+    # _ann_lsh_prod), the round-5 bit-pool multi-probe path (the
+    # scale-safe threshold-0.4 configuration), and the
+    # production-threshold LSH (near-flat)
     "sim_topk_cosine",
     "sim_topk_ann",
     "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
     "ann_lsh_prod_thresh",
     "text_quality",
     "events_sessionize_stats",
@@ -215,6 +218,7 @@ FRESH_SUBSET = [
     "sim_topk_cosine",
     "sim_topk_ann",
     "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
     "ann_lsh_prod_thresh",
 ]
 

@@ -213,6 +213,45 @@ def test_ann_cascade_shuffles_narrow_keys_not_vectors(spark):
     assert "vkey" in plan
 
 
+def test_ann_topk_fallback_side_is_broadcast(spark):
+    """The per-query brute-force fallback in ann_topk is
+    broadcast(short-queries) x corpus — the bounded degradation the
+    docstring claims. With deliberately mistuned tables (one 16-bit
+    table: nearly every query falls short of k candidates) the
+    fallback dominates the plan, and it must appear as a
+    BroadcastNestedLoopJoin (bounded build side), never a
+    CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from canadiannewsdatapipeline_spark.operators.similarity import ann_topk
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ann_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < 20, k=5,
+        n_tables=1, n_planes=16,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_multiprobe_plan_shape(spark):
+    """Bit-pool multi-probe ANN: the signature stage is one Arrow
+    MapInPandas (not 252 literal-plane folds — those cost 35 s of
+    analysis, measured), candidate screening joins broadcast the
+    signature words, and no Exchange ever carries a raw vector."""
+    plan = _formatted(spark, "sim_ann_lsh_multiprobe")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "mv#" not in line and "embedding#" not in line, line
+
+
 def test_dedup_cascade_shuffles_keys_not_text(spark):
     # text-dedup cascade: the collapse groups on the md5 token key and
     # the signature agg on rep ids — no Exchange keyed on raw text

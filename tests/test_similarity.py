@@ -118,6 +118,56 @@ def test_cascade_equals_direct_pipeline_on_twinned_corpus(spark, emb):
     assert len(got) > 0
 
 
+def test_multiprobe_perfect_precision_and_high_recall(emb, truth):
+    """The round-5 bit-pool multi-probe path: exact verify means no
+    false positives ever; the measured operating point (252-bit pool,
+    160x12-bit tables, radius-1 probes, Hamming<=112 screen) recalls
+    59/59 at sf0.01 and 97.5% at sf0.1 — at sf0.001 it must stay
+    >= 90% of the exact tier."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    got = _pairs(ann_lsh_multiprobe_pairs(emb, "vec_id", "embedding", THRESHOLD))
+    assert got <= truth
+    assert len(got) >= (9 * len(truth)) // 10
+
+
+def test_multiprobe_cascade_equals_flat_on_twinned_corpus(spark, emb):
+    """The exact-dup cascade must be output-invisible for the
+    multi-probe pipeline too: on a corpus where every vector has an
+    exact twin, the cascaded operator equals the flat pipeline run
+    over all ids (identical vectors share every pool bit, bucket,
+    probe, and Hamming distance)."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _ann_lsh_multiprobe_distinct,
+        ann_lsh_multiprobe_pairs,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    twin = base.unionByName(
+        base.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    args = dict(pool=252, n_bits=12, n_tables=40, probe_radius=1,
+                hamming_max=112, dim=64)
+    got = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            twin, "vec_id", "embedding", THRESHOLD, **args
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _ann_lsh_multiprobe_distinct(
+            twin, "vec_id", "embedding", THRESHOLD,
+            args["pool"], args["n_bits"], args["n_tables"],
+            args["probe_radius"], args["hamming_max"], args["dim"],
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # twins guarantee within-group pairs
+
+
 def test_ann_pairs_compose_under_set_ops(emb):
     """Regression: the pair-dedup must be a plain aggregate — a
     Deduplicate(subset) node here broke downstream set-op rewrites
