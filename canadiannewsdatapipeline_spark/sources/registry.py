@@ -109,6 +109,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` minus the timestamp normalization: the parquet
+    file's surfaced schema, memoized per session. The streaming twins
+    need this — a readStream must be given the file's RAW read schema
+    (nanos longs / NTZ as they surface), with normalization applied
+    inside the stream (`streaming.ingest._normalize_ts`). Re-reading
+    per call costs a footer read + several py4j round trips; this
+    shares the session cache under a distinct key."""
+    _pin_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = path + "#raw"
+    mtime = os.path.getmtime(path)
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
+    hit = per_session.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    _pin_session_confs(spark, repin=True)
+    df = spark.read.parquet(path)
+    per_session[key] = (mtime, df)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -21,14 +21,27 @@ from pyspark.sql import functions as F
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS): stream it with the raw
     # nanos-as-long schema and convert with integer DIV (see
-    # sources/registry.py — same rule as the batch loader).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(events_path)
+    # sources/registry.py — same rule as the batch loader). The raw
+    # frame is the session-memoized one (conf pinning + footer read
+    # once per session).
+    import os
+
+    from ..sources.registry import _pin_session_confs, load_table_raw
+
+    if events_path.endswith(".parquet") and os.path.isfile(events_path):
+        raw = load_table_raw(
+            spark,
+            os.path.dirname(events_path),
+            os.path.basename(events_path).removesuffix(".parquet"),
+        )
+    else:
+        # directory source (ingest-style): not a registry table; read
+        # directly with the session confs pinned
+        _pin_session_confs(spark, repin=True)
+        raw = spark.read.parquet(events_path)
     reader = spark.readStream.schema(raw.schema)
     # FileStreamSource wants a directory; a single-file path becomes
     # parent dir + pathGlobFilter so only that file is streamed.
-    import os
-
     if os.path.isfile(events_path):
         d, base = os.path.split(events_path)
         reader = reader.option("pathGlobFilter", base)

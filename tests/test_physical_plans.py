@@ -262,19 +262,21 @@ def test_dedup_cascade_shuffles_keys_not_text(spark):
                 assert "text#" not in line and " t#" not in line, (name, line)
 
 
-def test_bigram_lm_joins_counts_not_occurrences(spark):
-    # the LM scoring join must consume the per-(doc, bigram) COUNT
-    # aggregate, never the raw occurrence stream: occurrences collapse
-    # map-side first (partial_count before the exchange), and the
-    # unigram/vocab factors fold into the vocabulary-sized model frame
-    # so no occurrence-scale row joins on a second key
+def test_bigram_lm_single_occurrence_shuffle(spark):
+    # Round-5 re-measured shape (SCALE.md §Round-5): the round-4
+    # per-(doc, bigram) collapse collapsed nothing on this corpus
+    # (96.5% of occurrences unique) while costing an occurrence-scale
+    # string-keyed shuffle — it must NOT come back. The model groupBy
+    # is map-side combinable (partial_count before its exchange) and
+    # vocabulary-bounded; the only exchange allowed to carry doc_id is
+    # the final per-doc aggregation, whose partials collapse map-side.
     plan = _simple(spark, "text_bigram_logprob")
     assert "partial_count" in plan
-    # the (doc_id, w1, w2) collapse exchange exists...
-    assert any(
-        "Exchange hashpartitioning" in l and "doc_id" in l and "w1" in l and "w2" in l
+    doc_exchanges = [
+        l
         for l in plan.splitlines()
-    ), plan
-    # ...and the weighted decimal product keeps full scale-9 precision
-    # (a bigint product would silently truncate to scale 8)
-    assert "(10,0)" in plan
+        if "Exchange hashpartitioning" in l and "doc_id" in l
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
+    # no occurrence-collapse exchange keyed (doc_id, w1, w2)
+    assert not any("w1" in l and "w2" in l for l in doc_exchanges), doc_exchanges
