@@ -646,10 +646,18 @@ def _ann_lsh_multiprobe_distinct(
     # candidate pairs are born map-side inside this join's stage and
     # screened immediately — they never shuffle. id_a < id_b keeps
     # each (pair, table, flip) once (the XOR-difference mask is
-    # symmetric) and drops the mask-0 self-join.
+    # symmetric) and drops the mask-0 self-join. SHUFFLE_HASH hint:
+    # Catalyst cannot see the explode multiplicity behind the
+    # mapInPandas signature stage and (measured, fresh-x10) broadcast
+    # the 41.6M-row PROBE side as a BHJ build — 134 s for the join;
+    # a shuffled hash join building the smaller homes partition is
+    # 12.6 s and is the right plan at any scale (both sides grow
+    # with L*N).
     cand = (
         probes.join(
-            homes.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+            homes.select(F.col("id").alias("id_b"), "tbl", "bucket").hint(
+                "SHUFFLE_HASH"
+            ),
             ["tbl", "bucket"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
