@@ -219,3 +219,65 @@ def test_ann_topk_contract_and_recall(spark, sf_dir):
     hits = sum(len(exact[q] & ann[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.85
+
+
+def test_prod_multiprobe_planted_recall_floor(spark):
+    """Pin the production-threshold (0.85) multiprobe configuration's
+    recall on PLANTED near-dups (the fresh ladder can only measure its
+    cost: hash-fresh vectors have no true pairs at 0.85). Mirrors
+    scripts/prod_recall.py at test scale: every base vector gets one
+    twin at a known cosine in [0.85, 0.98]; ground truth is exact
+    numpy float64 over ALL pairs. The k16/L16/r1/H70 point measured
+    98.8% at 20k planted pairs (vs the 8x12 multitable's 79.3%,
+    SCALE.md); assert a conservative floor and exactness here."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = rng.normal(size=(n, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    cos = rng.uniform(0.85, 0.98, size=n)
+    w = rng.normal(size=(n, 64))
+    w -= (w * base).sum(1, keepdims=True) * base
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    vecs = np.vstack(
+        [base, cos[:, None] * base + np.sqrt(1 - cos**2)[:, None] * w]
+    ).astype(np.float32)
+
+    v64 = vecs.astype(np.float64)
+    v64 /= np.linalg.norm(v64, axis=1, keepdims=True)
+    sims = np.round(v64 @ v64.T, 4)
+    ia, ib = np.nonzero(sims >= 0.85)
+    exact = {(int(a), int(b)) for a, b in zip(ia, ib) if a < b}
+    assert len(exact) >= n  # every planted pair + any incidental ones
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(vecs)], schema
+    )
+    got = _pairs(
+        ann_lsh_multiprobe_pairs(
+            df,
+            "vec_id",
+            "embedding",
+            threshold=0.85,
+            pool=252,
+            n_bits=16,
+            n_tables=16,
+            probe_radius=1,
+            hamming_max=70,
+        )
+    )
+    assert not got - exact  # exact verify => zero false positives
+    assert len(got & exact) / len(exact) >= 0.95
