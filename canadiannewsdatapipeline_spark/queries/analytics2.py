@@ -1004,11 +1004,20 @@ def j_fuzzy_trigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_winsorize",
     """
-    WITH b AS (
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    b AS (
       SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.01) AS p01,
-             quantile_cont(l_extendedprice, 0.99) AS p99
-      FROM lineitem GROUP BY l_returnflag
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT))
+                      THEN l_extendedprice END) AS p01,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+                      THEN l_extendedprice END) AS p99
+      FROM r GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            COUNT(*) AS n,
@@ -1022,20 +1031,51 @@ def j_fuzzy_trigram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
     GROUP BY l.l_returnflag
     """,
-    doc="winsorization: per-group p01/p99 clamp + robust mean (outlier capping for features)",
+    doc="winsorization: per-group discrete p01/p99 clamp + robust mean (outlier capping for features)",
 )
 def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier capping before feature aggregation: clamp to per-group
-    exact percentiles, then aggregate the clamped values. Same
-    decorrelation as MAD — the percentile bounds are a tiny per-group
-    aggregate broadcast back. Clamped values go through DECIMAL before
-    the mean so the sum is partitioning-independent (percentile bounds
-    themselves are exact-interpolation doubles, identical on both
-    engines; the 4-dp decimal cast rounds identically)."""
+    percentile bounds, then aggregate the clamped values. The bounds
+    are DISCRETE percentiles — the actual data value at rank
+    ceil(p*n), the ``a_percentile_disc`` rule — NOT interpolated ones:
+    interpolation manufactures a double that exists in neither
+    engine's data, and a 1-ulp divergence in that double flips
+    ``<``/``>`` clamp comparisons for rows sitting exactly at the
+    bound (seen on a content-fresh x3 warehouse: DuckDB's
+    quantile_cont p99 landed 1 ulp below Spark's percentile() and
+    n_clamped moved by 3). Discrete bounds stay in the column's exact
+    decimal domain, so every comparison and the DECIMAL(14,4) clamp
+    sum are engine-exact and row-count-independent. The value at rank
+    r is invariant to tie order (ties permute rows only within
+    equal-value runs), so ORDER BY the value alone is deterministic.
+    One window exchange for the bounds (tiny per-group aggregate,
+    broadcast back)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.groupBy(F.col("l_returnflag").alias("b_flag")).agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc()
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    t01 = F.greatest(F.lit(1), F.ceil(0.01 * F.col("n")).cast("bigint"))
+    t99 = F.greatest(F.lit(1), F.ceil(0.99 * F.col("n")).cast("bigint"))
+    b = (
+        r.filter((F.col("rn") == t01) | (F.col("rn") == t99))
+        .groupBy(F.col("l_returnflag").alias("b_flag"))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == t01, F.col("l_extendedprice"))
+            ).alias("p01"),
+            F.max(
+                F.when(F.col("rn") == t99, F.col("l_extendedprice"))
+            ).alias("p99"),
+        )
     )
     j = li.join(F.broadcast(b), F.col("b_flag") == F.col("l_returnflag"))
     clamped = (

@@ -58,6 +58,29 @@ def _normalize_ts(stream: DataFrame, col: str = "ts") -> DataFrame:
     return stream
 
 
+def _stream_from_batch_source(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """readStream over the files backing a batch DataFrame.
+
+    FileStreamSource only accepts a directory, so a single-file source
+    (the warehouse layout: ``<sf_dir>/events.parquet`` next to nine
+    OTHER tables) must be streamed as parent dir + ``pathGlobFilter``
+    on its base name — same rule as ``streaming.joins._event_stream``.
+    Without the glob the stream lists the WHOLE warehouse: every other
+    table is scanned through this schema (correct output only because
+    the window operator's implicit ``isnotnull(ts)`` drops the
+    foreign rows, but ~6x the bytes at sf0.1) and any non-parquet
+    file in the directory fails the read (found by driver_sim on a
+    ladder warehouse, whose LADDER_MODE marker crashed the stream).
+    A multi-file dataset's input files share their own parent
+    directory, so it streams unfiltered exactly as before."""
+    files = df.inputFiles()
+    d, base = files[0].rsplit("/", 1)
+    reader = spark.readStream.schema(df.schema)
+    if len(files) == 1:
+        reader = reader.option("pathGlobFilter", base)
+    return reader.parquet(d)
+
+
 def streaming_file_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -104,9 +127,7 @@ def windowed_event_counts(
     aggregate's key cardinality (hours x event types), not the batch
     shuffle width — see ``_state_partitions``."""
     sink = f"wec_{uuid.uuid4().hex[:12]}"
-    stream = spark.readStream.schema(events.schema).parquet(
-        events.inputFiles()[0].rsplit("/", 1)[0]
-    )
+    stream = _stream_from_batch_source(spark, events)
     # events.ts arrives as nanosecond longs (see sources.registry);
     # apply the same conversion inside the stream.
     stream = _normalize_ts(stream)
@@ -148,9 +169,7 @@ def stream_static_enrich(
     the stream side never shuffles for the join (broadcast), only for
     the windowed aggregation — one exchange per micro-batch."""
     sink = f"sse_{uuid.uuid4().hex[:12]}"
-    stream = spark.readStream.schema(events.schema).parquet(
-        events.inputFiles()[0].rsplit("/", 1)[0]
-    )
+    stream = _stream_from_batch_source(spark, events)
     stream = _normalize_ts(stream)
     agg = (
         stream.join(F.broadcast(dim), join_expr(stream, dim))
