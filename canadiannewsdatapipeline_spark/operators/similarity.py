@@ -327,6 +327,20 @@ def ann_lsh_multitable_pairs(
     is ~100% recall on <1% of pairs. The join key (tbl, bucket) keeps
     every table's buckets in one shuffle.
 
+    **Scale warning (measured, round 5)**: do NOT take this operator's
+    flat ladder curve at face value for production runs. Its candidate
+    volume is Theta(N^2 * L / 2^k) — fixed overhead hides the term
+    until N crosses the decade where it dominates, and every candidate
+    pays a full ``dim``-double cosine fold (no Hamming prefilter). The
+    production-threshold 8x12 config was flat to fresh-x33 (66k
+    distinct vectors, 9.1 s) then hit 137.1 s at fresh-x100 (200k —
+    15x wall for 3x data; SCALE_LADDER_FRESH_X100_r05.json). For
+    production near-dup (threshold >= 0.85) use
+    ``prod_near_dup_pairs`` / ``PROD_NEAR_DUP_MP``: 6.3 s at the same
+    rung and +19 recall points on planted pairs
+    (scripts/prod_recall.py). This operator remains the frozen-oracle
+    correctness row (``sim_ann_lsh``) and a valid small-corpus path.
+
     Identical vectors are collapsed FIRST (min-id representative), the
     LSH + verify pipeline runs on distinct vectors only, and verified
     representative pairs are expanded back to member pairs at the end.
@@ -484,6 +498,37 @@ _WORD_BITS = 63  # bits per packed signature word (bit 63 would overflow
 # DuckDB's left shift and flip Spark's sign bit; 63 keeps both engines
 # in well-defined positive-long territory)
 
+# Auto-gate for the multiprobe's corpus-side joins (the packed
+# signature words of the Hamming screen and both vector sides of the
+# exact verify): broadcast while the INPUT embedding relation's
+# Catalyst size estimate stays at or under this many bytes, pin
+# SHUFFLE_HASH above it. 256 MiB of source parquet is ~500k 64-dim
+# float vectors — the signature build side is then ~20 MB (id + 4
+# longs) and each vector build side ~270 MB in-memory, the upper edge
+# of what a 4-8 GiB executor comfortably holds twice. Past the gate
+# the build sides are GBs at 1e7+ vectors and broadcasting would OOM
+# the executors — exactly the swap the multiprobe docstring names.
+MP_BROADCAST_MAX_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized logical plan.
+
+    Trustworthy where the multiprobe consults it — a file-source
+    relation (sum of file sizes x column-prune fraction). NOT
+    trustworthy after mapInPandas/explode (Catalyst carries the
+    pre-explode estimate through; measured mis-broadcast of a
+    41.6M-row side, see ``_ann_lsh_multiprobe_distinct``), which is
+    why the gate reads the INPUT relation, never an intermediate.
+    Unknown size degrades to "huge" so the auto mode fails toward the
+    scale-safe shuffle joins."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
 
 def _mp_signature_gen(pool: int, n_bits: int, n_tables: int, dim: int):
     """Arrow-batch signature kernel for the multi-probe pipeline:
@@ -545,6 +590,7 @@ def _ann_lsh_multiprobe_distinct(
     probe_radius: int,
     hamming_max: int,
     dim: int,
+    broadcast_corpus: bool = True,
 ) -> DataFrame:
     """Bit-pool multi-probe sign-LSH over ALREADY-DISTINCT vectors.
 
@@ -588,12 +634,22 @@ def _ann_lsh_multiprobe_distinct(
     98.0% recall. At a production near-dup threshold (>= 0.85) the
     same pool supports deeper k at full recall.
 
-    Scale notes: the signature table (id + 4 longs) and the vector
-    side of the exact verify are broadcast here (<= tens of MB at
-    ladder scale); at 100 TB both become shuffle joins on the
-    POST-PREFILTER survivor stream — the candidate stream itself
-    still never shuffles (it is born and screened inside the
-    (tbl, bucket) join stage). ``sigs`` is persisted: three consumers
+    Scale notes: ``broadcast_corpus`` picks the physical shape of the
+    four corpus-side joins (signature words wa/wb of the Hamming
+    screen, both vector sides of the exact verify). True — the ladder-
+    scale default ``ann_lsh_multiprobe_pairs`` auto-selects below
+    ``MP_BROADCAST_MAX_INPUT_BYTES`` — broadcasts them (<= tens of MB
+    of build side at ladder scale; the candidate stream is then born,
+    screened and verified without ever shuffling past its
+    (tbl, bucket) stage). False — the 1e7+-vector regime — swaps all
+    four to SHUFFLE_HASH joins: the candidate stream pays one exchange
+    per attach (hashed on id_a/id_b, two ints per row pre-screen,
+    survivors only for the vector attach) and the corpus sides shuffle
+    instead of OOMing the executors. The hint is pinned rather than
+    left to AQE because every one of these joins sits downstream of
+    the mapInPandas signature stage, where Catalyst's size stats are
+    known-garbage (measured: a 41.6M-row probe side chosen as a
+    broadcast build, 134 s). ``sigs`` is persisted: three consumers
     (homes, probes, signature words); ContextCleaner unpersists when
     unreferenced, swap for checkpoints on a cluster."""
     from pyspark.storagelevel import StorageLevel
@@ -618,11 +674,26 @@ def _ann_lsh_multiprobe_distinct(
     # literal-fold shape for, and the plan cost scales with it. The
     # matmul keeps the planes/subsets in the task closure (zero plan
     # footprint) and hashes a 60k-vector corpus in ~0.1 s. Sign
-    # semantics are preserved: float64 accumulate, round to 6 dp, then
-    # >= 0 — the only place numpy's half-even could diverge from the
-    # engines' half-up is a dot landing EXACTLY on a .5e-6 boundary,
-    # which no dyadic-rational dot of float32-derived components can
-    # hit (5e-7 is not representable in binary).
+    # semantics: float64 accumulate, round to 6 dp, then >= 0. Two
+    # cross-engine divergence classes, one closed, one residual:
+    # (a) CLOSED — a tie at an exact .5e-6 boundary, where numpy's
+    # half-even and the engines' half-up disagree BY RULE: no
+    # dyadic-rational dot of float32-derived components can land on
+    # .5e-6 exactly (5e-7 is not representable in binary).
+    # (b) RESIDUAL, ~1-ulp window — the two engines need not compute
+    # the SAME float64 dot: numpy's matmul accumulates pairwise/SIMD
+    # while DuckDB's SUM is sequential, and np.round's scaled
+    # round(x*1e6)/1e6 intermediate adds its own ulp. A true dot
+    # within ~1 ulp of the decision boundary (-5e-7 after rounding)
+    # can therefore produce a different sign bit per engine,
+    # desyncing one pool bit (bucket + Hamming word) for that vector.
+    # This window is IRREDUCIBLE for any finite decision boundary
+    # once summation orders differ — a tolerance band only moves the
+    # boundary, it does not remove it — so it is documented rather
+    # than papered over: P(hit) ~ 2^-45 per (vector, plane) for unit
+    # vectors, none observed across the fuzz + content-fresh parity
+    # sweeps (r4-r6), and a hit perturbs candidate GENERATION only;
+    # precision is preserved by the exact verify on both engines.
     sig_schema = (
         "id long, "
         + ", ".join(f"w{m} long" for m in range(n_words))
@@ -676,9 +747,16 @@ def _ann_lsh_multiprobe_distinct(
     for m in range(n_words):
         term = F.bit_count(F.col(f"wa{m}").bitwiseXOR(F.col(f"wb{m}")))
         hamming = term if hamming is None else hamming + term
+    # corpus-side join shape — see the docstring's Scale notes. Both
+    # branches are explicit: broadcast below the gate, SHUFFLE_HASH
+    # above it (never AQE's call — post-mapInPandas stats are garbage)
+    if broadcast_corpus:
+        corpus_side = F.broadcast
+    else:
+        corpus_side = lambda d: d.hint("SHUFFLE_HASH")  # noqa: E731
     screened = (
-        cand.join(F.broadcast(wa), "id_a")
-        .join(F.broadcast(wb), "id_b")
+        cand.join(corpus_side(wa), "id_a")
+        .join(corpus_side(wb), "id_b")
         .filter(hamming <= hamming_max)
         .select("id_a", "id_b")
     )
@@ -687,7 +765,7 @@ def _ann_lsh_multiprobe_distinct(
     ).withColumn("sn", F.sqrt(_norm2("v")))
     verified = (
         screened.join(
-            F.broadcast(
+            corpus_side(
                 ev.select(
                     F.col("id").alias("id_a"),
                     F.col("v").alias("ea"),
@@ -697,7 +775,7 @@ def _ann_lsh_multiprobe_distinct(
             "id_a",
         )
         .join(
-            F.broadcast(
+            corpus_side(
                 ev.select(
                     F.col("id").alias("id_b"),
                     F.col("v").alias("eb"),
@@ -730,6 +808,7 @@ def ann_lsh_multiprobe_pairs(
     probe_radius: int = 1,
     hamming_max: int = 112,
     dim: int = 64,
+    broadcast_corpus: bool | None = None,
 ) -> DataFrame:
     """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
     sign-LSH with a packed-signature Hamming prefilter, wrapped in the
@@ -739,7 +818,21 @@ def ann_lsh_multiprobe_pairs(
     every pool bit, hence every bucket, every probe, a zero Hamming
     distance, and the same rounded cosines. See
     ``_ann_lsh_multiprobe_distinct`` for the algorithm and measured
-    operating point."""
+    operating point.
+
+    ``broadcast_corpus``: physical shape of the four corpus-side
+    joins. ``None`` (default) auto-gates on the input relation's
+    Catalyst size estimate vs ``MP_BROADCAST_MAX_INPUT_BYTES`` — the
+    estimate is read HERE, on the file-source relation, because it is
+    the last point in the pipeline where Catalyst's stats are
+    trustworthy (post-mapInPandas they are garbage, see
+    ``_plan_size_bytes``). Booleans force a mode; output is identical
+    either way (equivalence pinned by
+    tests/test_similarity.py::test_multiprobe_shuffle_mode_output_equal)."""
+    if broadcast_corpus is None:
+        broadcast_corpus = (
+            _plan_size_bytes(emb) <= MP_BROADCAST_MAX_INPUT_BYTES
+        )
     return _exact_dup_cascade(
         emb,
         id_col,
@@ -756,7 +849,47 @@ def ann_lsh_multiprobe_pairs(
             probe_radius,
             hamming_max,
             dim,
+            broadcast_corpus=broadcast_corpus,
         ),
+    )
+
+
+# The production near-dup operating point (threshold >= 0.85),
+# measured-best across rounds 4-5 (SCALE.md §Round-5, fresh-x100 rung
+# + scripts/prod_recall.py planted-pair study): flat to 200k
+# genuinely-distinct vectors at 6.3 s where the 8x12 multitable hits
+# its N^2/2^k law (137 s), and 98.8% vs 79.3% planted-pair recall at
+# 20k pairs — strictly better on BOTH axes, zero false positives for
+# either (the exact verify guarantees precision). Splat into
+# ``ann_lsh_multiprobe_pairs`` / pass to ``prod_near_dup_pairs``; the
+# scale ladder, scripts/prod_recall.py and the recall-floor test
+# (tests/test_similarity.py) all import THIS constant so the library,
+# the evidence scripts and the pinned floor cannot drift apart.
+PROD_NEAR_DUP_MP = {
+    "threshold": 0.85,
+    "pool": 252,
+    "n_bits": 16,
+    "n_tables": 16,
+    "probe_radius": 1,
+    "hamming_max": 70,
+}
+
+
+def prod_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, **overrides
+) -> DataFrame:
+    """Production near-dup pairs at the measured-best operating point
+    (``PROD_NEAR_DUP_MP``): the config a user should reach for when
+    deduplicating a real corpus at cosine >= 0.85. Prefer this over
+    ``ann_lsh_multitable_pairs`` at production thresholds — the
+    multitable config that looks flat at ladder scale is superlinear
+    one decade later (see its docstring). ``overrides`` pass through
+    to ``ann_lsh_multiprobe_pairs`` (e.g. ``dim``,
+    ``broadcast_corpus``, or a tightened ``threshold`` — the LSH
+    operating point stays valid for any threshold >= 0.85 since
+    candidate recall only rises with the angle)."""
+    return ann_lsh_multiprobe_pairs(
+        emb, id_col, vec_col, **{**PROD_NEAR_DUP_MP, **overrides}
     )
 
 

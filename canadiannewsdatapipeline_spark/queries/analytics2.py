@@ -44,7 +44,17 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated inner median decorrelates into a per-group aggregate
     broadcast back onto the fact rows; two shuffles total (group sizes
     are bounded by the flag cardinality, so the second agg is tiny).
-    Exact interpolated percentiles, identical IEEE math both engines."""
+    Exact interpolated percentiles, identical IEEE math both engines.
+
+    INVARIANT — interpolated percentile is output-only: never feed it
+    into a COMPARISON (>=, BETWEEN, a CASE boundary). A 1-ulp
+    cross-engine divergence in quantile_cont vs percentile() flipped a
+    clamp count on content-fresh data in `a_winsorize` (round 5, since
+    re-specced to discrete rank bounds); values that are only output
+    are safe because the 10-sig-digit canonicalization absorbs the
+    ulp. The inner median here feeds a SUBTRACTION, which propagates
+    the ulp linearly into the rounded outputs — same absorbed class —
+    but never a branch."""
     li = load_table(spark, sf_dir, "lineitem")
     med = li.groupBy(F.col("l_returnflag").alias("m_flag")).agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("med")
@@ -1583,7 +1593,12 @@ def events_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (floor((n-1)*0.9) is the same IEEE product and floor on both
     sides), an exact BIGINT in micros — no float rounding anywhere.
     collect_list is bounded by max events/user (the same bound the
-    sessionizer's state store assumes)."""
+    sessionizer's state store assumes).
+
+    INVARIANT — the interpolated p50 is output-only: never feed it
+    into a COMPARISON (see a_winsorize's round-5 1-ulp clamp flip).
+    On integer micros (a+b)/2 happens to be bit-identical anyway, but
+    the rule stands so a future edit doesn't branch on it."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -805,7 +805,13 @@ def a_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`); at 100 TB swap for approx_percentile."""
+    DuckDB `quantile_cont`); at 100 TB swap for approx_percentile.
+
+    INVARIANT — interpolated percentile is output-only: never feed it
+    into a COMPARISON (a_winsorize's clamp bounds flipped by 1 ulp on
+    content-fresh data in round 5 and had to be re-specced to discrete
+    rank bounds). Here both percentiles are only SELECTed; the
+    ROUND(,4) + 10-sig-digit canonicalization absorbs the ulp."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),

@@ -352,7 +352,19 @@ _MP_MASKS = ", ".join(str(m) for m in _probe_masks(_MP_BITS, _MP_RADIUS))
 @register(
     "sim_ann_lsh_multiprobe",
     f"""
-    WITH planes AS (
+    WITH emb_ok AS (
+      -- mirror the Spark pipeline's null guard (similarity.py,
+      -- _ann_lsh_multiprobe_distinct: isNotNull & ~exists(isNull)):
+      -- a NULL vector or any NULL ELEMENT excludes the row entirely.
+      -- Without this, SQL SUM would skip the NULL terms and hash a
+      -- partial dot while Spark's NULL-propagating aggregate drops
+      -- the vector — a latent engine/oracle divergence if fuzz data
+      -- ever emits NULL elements (none does today).
+      SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    planes AS (
       SELECT j.j, c.c,
              CAST((ascii(substr(md5('mp:' || CAST(j.j AS VARCHAR) || ':' || CAST(c.c AS VARCHAR)), 1, 1)) % 7) - 3 AS DOUBLE) AS h
       FROM (SELECT unnest(generate_series(0, {_MP_POOL - 1})) AS j) j,
@@ -362,7 +374,7 @@ _MP_MASKS = ", ".join(str(m) for m in _probe_masks(_MP_BITS, _MP_RADIUS))
       SELECT e.vec_id, pl.j,
              CASE WHEN ROUND(SUM(CAST(e.embedding[pl.c + 1] AS DOUBLE) * pl.h), 6) >= 0
                   THEN 1 ELSE 0 END AS bit
-      FROM embeddings e, planes pl
+      FROM emb_ok e, planes pl
       GROUP BY e.vec_id, pl.j
     ),
     words AS (
@@ -416,8 +428,8 @@ _MP_MASKS = ", ".join(str(m) for m in _probe_masks(_MP_BITS, _MP_RADIUS))
              SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
              SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
       FROM screened c
-      JOIN embeddings ea ON ea.vec_id = c.id_a
-      JOIN embeddings eb ON eb.vec_id = c.id_b,
+      JOIN emb_ok ea ON ea.vec_id = c.id_a
+      JOIN emb_ok eb ON eb.vec_id = c.id_b,
            (SELECT unnest(generate_series(1, 64)) AS i) g
       GROUP BY c.id_a, c.id_b
     )

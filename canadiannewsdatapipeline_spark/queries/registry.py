@@ -70,6 +70,19 @@ def _plan_cached(
     return wrapped
 
 
+def is_plan_cached(spark: SparkSession, name: str, sf_dir: str) -> bool:
+    """True iff a repeat ``QUERIES[name].fn(spark, sf_dir)`` call will
+    be a plan-cache HIT — key present AND warehouse stamp current.
+    Bare key membership is not enough: a warehouse regenerated in
+    place keeps the key but fails the stamp check, and the wrapper
+    re-plans (bench.py uses this to report that re-plan honestly)."""
+    cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+    if not cache:
+        return False
+    hit = cache.get((name, sf_dir))
+    return hit is not None and hit[0] == _warehouse_stamp(sf_dir)
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the corpus."""
 

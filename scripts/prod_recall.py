@@ -83,8 +83,9 @@ def main() -> int:
     from pyspark.sql import types as T
 
     from canadiannewsdatapipeline_spark.operators.similarity import (
-        ann_lsh_multiprobe_pairs,
+        PROD_NEAR_DUP_MP,
         ann_lsh_multitable_pairs,
+        prod_near_dup_pairs,
     )
     from canadiannewsdatapipeline_spark.session import get_spark
 
@@ -103,17 +104,12 @@ def main() -> int:
         "prod-multitable-8x12": lambda: ann_lsh_multitable_pairs(
             emb, "vec_id", "embedding", threshold=THRESHOLD, n_tables=8, n_planes=12
         ),
-        "prod-multiprobe-k16-L16-r1-H70": lambda: ann_lsh_multiprobe_pairs(
-            emb,
-            "vec_id",
-            "embedding",
-            threshold=THRESHOLD,
-            pool=252,
-            n_bits=16,
-            n_tables=16,
-            probe_radius=1,
-            hamming_max=70,
-        ),
+        # the library's named production preset — imported, not
+        # restated, so this measurement can never drift from what
+        # prod_near_dup_pairs actually ships
+        "prod-multiprobe-k{n_bits}-L{n_tables}-r{probe_radius}-H{hamming_max}".format(
+            **PROD_NEAR_DUP_MP
+        ): lambda: prod_near_dup_pairs(emb, "vec_id", "embedding"),
     }
     for name, fn in configs.items():
         got = {

@@ -23,7 +23,10 @@ Replication scheme (copy i of K):
 
 Usage: python scripts/scale_ladder.py [K] [out_dir] [--fresh]
 (default K=10 -> ~sf1; prints one JSON line per rung plus a summary;
-SPARK_GRAFT_KEEP_LADDER=1 keeps the generated warehouses for reruns)
+SPARK_GRAFT_KEEP_LADDER=1 keeps the generated warehouses for reruns;
+SPARK_GRAFT_LADDER_QUERIES=a,b filters rows — EXTRA_QUERIES names are
+selectable too; SPARK_GRAFT_LADDER_TRIALS=1 -> single-pass, no
+warmup, for tens-of-minutes rows)
 
 ``--fresh`` mode (round-4 addition): the twin-replication rungs are
 exactly the shape the exact-dedup cascade absorbs (every copy is an
@@ -117,27 +120,83 @@ def _ann_lsh_prod_mp(spark, sf_dir):
     vs the 8x12 multitable's 79.3%, zero false positives for both —
     strictly better on BOTH axes."""
     from canadiannewsdatapipeline_spark.operators.similarity import (
-        ann_lsh_multiprobe_pairs,
+        prod_near_dup_pairs,
     )
     from canadiannewsdatapipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # the operating point lives in the library (PROD_NEAR_DUP_MP),
+    # not here — the ladder measures what a user actually gets
+    return prod_near_dup_pairs(emb, "vec_id", "embedding")
+
+
+def _ann_mp_t04_count(spark, sf_dir):
+    """Count-only twin of the threshold-0.4 multiprobe row: aggregate
+    COUNT(*) over the verified pairs instead of materializing them.
+    At threshold 0.4 the qualifying output is itself Theta(N^2) (a
+    ~5e-4 constant fraction of all pairs qualifies on fresh random
+    vectors), so the full row's rung-over-rung growth is output-bound
+    by construction (SCALE.md §Round-5). This twin runs every stage —
+    signature, probes, candidate join, Hamming screen, exact verify,
+    pair-dedup — and returns ONE row, so the full-vs-count delta at a
+    rung prices returned-row materialization, and the count row's own
+    growth shows the pipeline cost with output volume factored out."""
+    from pyspark.sql import functions as F
+
+    from canadiannewsdatapipeline_spark.queries import QUERIES
+
+    return (
+        QUERIES["sim_ann_lsh_multiprobe"]
+        .fn(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _mp_forced_shuffle(spark, sf_dir, prod: bool):
+    """The registered/prod multiprobe config with the corpus-side
+    joins FORCED to shuffle mode (broadcast_corpus=False) — the shape
+    the auto gate picks past MP_BROADCAST_MAX_INPUT_BYTES. Timed
+    against the broadcast-mode rows on the same warehouses, this
+    prices the mode delta at ladder scale (the gate's crossover is
+    memory-bound, not wall-bound: above it broadcast OOMs executors
+    rather than losing on wall — see similarity.py)."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        PROD_NEAR_DUP_MP,
+        ann_lsh_multiprobe_pairs,
+    )
+    from canadiannewsdatapipeline_spark.queries.llm import (
+        _COS_THRESHOLD,
+        _MP_BITS,
+        _MP_HAMMING,
+        _MP_POOL,
+        _MP_RADIUS,
+        _MP_TABLES,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if prod:
+        return ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding",
+            **PROD_NEAR_DUP_MP, broadcast_corpus=False,
+        )
     return ann_lsh_multiprobe_pairs(
-        emb,
-        "vec_id",
-        "embedding",
-        threshold=0.85,
-        pool=252,
-        n_bits=16,
-        n_tables=16,
-        probe_radius=1,
-        hamming_max=70,
+        emb, "vec_id", "embedding",
+        threshold=_COS_THRESHOLD, pool=_MP_POOL, n_bits=_MP_BITS,
+        n_tables=_MP_TABLES, probe_radius=_MP_RADIUS,
+        hamming_max=_MP_HAMMING, broadcast_corpus=False,
     )
 
 
 EXTRA_QUERIES = {
     "ann_lsh_prod_thresh": _ann_lsh_prod,
     "ann_lsh_prod_mp": _ann_lsh_prod_mp,
+    "ann_mp_t04_count": _ann_mp_t04_count,
+    # mode-comparison rows: select via SPARK_GRAFT_LADDER_QUERIES
+    # (not in any default subset — they exist to measure the
+    # broadcast-vs-shuffle delta, not to run every ladder)
+    "ann_mp_t04_shuffle": lambda s, d: _mp_forced_shuffle(s, d, False),
+    "ann_lsh_prod_mp_shuffle": lambda s, d: _mp_forced_shuffle(s, d, True),
 }
 
 # the scale-safe headline set (quadratic CORRECTNESS-only baselines
@@ -261,6 +320,7 @@ FRESH_SUBSET = [
     "sim_topk_ann",
     "sim_ann_lsh",
     "sim_ann_lsh_multiprobe",
+    "ann_mp_t04_count",
     "ann_lsh_prod_thresh",
     "ann_lsh_prod_mp",
 ]
@@ -284,14 +344,21 @@ def main() -> int:
     only = os.environ.get("SPARK_GRAFT_LADDER_QUERIES")
     if only:
         wanted = set(only.split(","))
-        unknown = sorted(wanted - set(subset))
+        # a filtered run may also select EXTRA_QUERIES rows outside
+        # the mode's default subset (the broadcast-vs-shuffle
+        # comparison rows exist only there)
+        selectable = list(subset) + [
+            q for q in EXTRA_QUERIES if q not in subset
+        ]
+        unknown = sorted(wanted - set(selectable))
         if unknown:
             print(
                 f"WARNING: SPARK_GRAFT_LADDER_QUERIES names not in the "
-                f"{'fresh' if fresh else 'twin'} subset, dropped: {unknown}",
+                f"{'fresh' if fresh else 'twin'} subset nor EXTRA_QUERIES, "
+                f"dropped: {unknown}",
                 file=sys.stderr,
             )
-        subset = [q for q in subset if q in wanted]
+        subset = [q for q in selectable if q in wanted]
         if not subset:
             print("ERROR: query filter left nothing to time", file=sys.stderr)
             return 2
@@ -330,11 +397,19 @@ def main() -> int:
     for k in rungs:
         out = f"{base}/x{k}"
         timings = {}
+        # SPARK_GRAFT_LADDER_TRIALS=1 is single-pass mode for rows in
+        # the tens-of-minutes class (fresh-x100 threshold-0.4: the
+        # Theta(N^2) output alone makes any trial ~40 min): no untimed
+        # warmup (plan build is seconds against such a row; label the
+        # number single-pass in SCALE.md). Default stays warmup +
+        # min-of-2.
+        n_trials = int(os.environ.get("SPARK_GRAFT_LADDER_TRIALS", "2"))
         for name in subset:
             fn = EXTRA_QUERIES.get(name) or QUERIES[name].fn
-            fn(spark, out).write.format("noop").mode("overwrite").save()
+            if n_trials > 1:
+                fn(spark, out).write.format("noop").mode("overwrite").save()
             trials = []
-            for _ in range(2):
+            for _ in range(n_trials):
                 t0 = time.perf_counter()
                 fn(spark, out).write.format("noop").mode("overwrite").save()
                 trials.append(time.perf_counter() - t0)

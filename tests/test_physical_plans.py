@@ -242,11 +242,44 @@ def test_multiprobe_plan_shape(spark):
     """Bit-pool multi-probe ANN: the signature stage is one Arrow
     MapInPandas (not 252 literal-plane folds — those cost 35 s of
     analysis, measured), candidate screening joins broadcast the
-    signature words, and no Exchange ever carries a raw vector."""
+    signature words (the below-the-gate mode — the registered query's
+    sf-scale input auto-selects it), and no Exchange ever carries a
+    raw vector."""
     plan = _formatted(spark, "sim_ann_lsh_multiprobe")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "mv#" not in line and "embedding#" not in line, line
+
+
+def test_multiprobe_shuffle_mode_plan_shape(spark, monkeypatch):
+    """Twin of test_multiprobe_plan_shape for the ABOVE-the-gate mode
+    (corpus too big to broadcast, the 1e7+-vector regime): with the
+    auto gate forced to 0 bytes the four corpus-side joins (signature
+    words wa/wb + both exact-verify vector sides) must all plan as
+    ShuffledHashJoin — pinned, not AQE-decided, because post-
+    mapInPandas stats are garbage (a 41.6M-row side was measured
+    mis-broadcast) — alongside the probes-homes SHUFFLE_HASH join;
+    exchanges still hash on ids only, never on a raw vector column."""
+    from canadiannewsdatapipeline_spark.operators import similarity as sim
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(sim, "MP_BROADCAST_MAX_INPUT_BYTES", 0)
+    df = sim.ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding", 0.4, n_tables=8
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # probes x homes + wa + wb + ev_a + ev_b
+    assert plan.count("ShuffledHashJoin") >= 5, plan.count("ShuffledHashJoin")
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "mv#" not in line and "embedding#" not in line, line

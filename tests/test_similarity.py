@@ -168,6 +168,29 @@ def test_multiprobe_cascade_equals_flat_on_twinned_corpus(spark, emb):
     assert len(got) > 0  # twins guarantee within-group pairs
 
 
+def test_multiprobe_shuffle_mode_output_equal(emb):
+    """broadcast_corpus picks a PHYSICAL join shape only (broadcast
+    below the size gate, pinned SHUFFLE_HASH above it); the logical
+    result — pairs AND cosines — must be bit-identical. Run the same
+    operating point in both modes and compare full rows."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    args = dict(pool=252, n_bits=12, n_tables=40, probe_radius=1,
+                hamming_max=112)
+    rows = lambda mode: {  # noqa: E731
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD,
+            broadcast_corpus=mode, **args
+        ).collect()
+    }
+    bc, sh = rows(True), rows(False)
+    assert bc == sh
+    assert len(bc) > 0
+
+
 def test_ann_pairs_compose_under_set_ops(emb):
     """Regression: the pair-dedup must be a plain aggregate — a
     Deduplicate(subset) node here broke downstream set-op rewrites
@@ -229,20 +252,25 @@ def test_prod_multiprobe_planted_recall_floor(spark):
     twin at a known cosine in [0.85, 0.98]; ground truth is exact
     numpy float64 over ALL pairs. The k16/L16/r1/H70 point measured
     98.8% at 20k planted pairs (vs the 8x12 multitable's 79.3%,
-    SCALE.md); assert a conservative floor and exactness here."""
+    SCALE.md); assert a conservative floor and exactness here. The
+    config under test is the LIBRARY'S named preset
+    (PROD_NEAR_DUP_MP via prod_near_dup_pairs) — if the preset ever
+    changes, this floor re-validates the new point automatically."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     from canadiannewsdatapipeline_spark.operators.similarity import (
-        ann_lsh_multiprobe_pairs,
+        PROD_NEAR_DUP_MP,
+        prod_near_dup_pairs,
     )
 
     rng = np.random.default_rng(3)
     n = 400
+    thr = PROD_NEAR_DUP_MP["threshold"]
     base = rng.normal(size=(n, 64))
     base /= np.linalg.norm(base, axis=1, keepdims=True)
-    cos = rng.uniform(0.85, 0.98, size=n)
+    cos = rng.uniform(thr, 0.98, size=n)
     w = rng.normal(size=(n, 64))
     w -= (w * base).sum(1, keepdims=True) * base
     w /= np.linalg.norm(w, axis=1, keepdims=True)
@@ -253,7 +281,7 @@ def test_prod_multiprobe_planted_recall_floor(spark):
     v64 = vecs.astype(np.float64)
     v64 /= np.linalg.norm(v64, axis=1, keepdims=True)
     sims = np.round(v64 @ v64.T, 4)
-    ia, ib = np.nonzero(sims >= 0.85)
+    ia, ib = np.nonzero(sims >= thr)
     exact = {(int(a), int(b)) for a, b in zip(ia, ib) if a < b}
     assert len(exact) >= n  # every planted pair + any incidental ones
 
@@ -266,18 +294,6 @@ def test_prod_multiprobe_planted_recall_floor(spark):
     df = spark.createDataFrame(
         [(i, [float(x) for x in r]) for i, r in enumerate(vecs)], schema
     )
-    got = _pairs(
-        ann_lsh_multiprobe_pairs(
-            df,
-            "vec_id",
-            "embedding",
-            threshold=0.85,
-            pool=252,
-            n_bits=16,
-            n_tables=16,
-            probe_radius=1,
-            hamming_max=70,
-        )
-    )
+    got = _pairs(prod_near_dup_pairs(df, "vec_id", "embedding"))
     assert not got - exact  # exact verify => zero false positives
     assert len(got & exact) / len(exact) >= 0.95
