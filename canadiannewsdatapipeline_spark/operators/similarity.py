@@ -502,13 +502,16 @@ _WORD_BITS = 63  # bits per packed signature word (bit 63 would overflow
 # signature words of the Hamming screen and both vector sides of the
 # exact verify): broadcast while the INPUT embedding relation's
 # Catalyst size estimate stays at or under this many bytes, pin
-# SHUFFLE_HASH above it. 256 MiB of source parquet is ~500k 64-dim
-# float vectors — the signature build side is then ~20 MB (id + 4
-# longs) and each vector build side ~270 MB in-memory, the upper edge
-# of what a 4-8 GiB executor comfortably holds twice. Past the gate
-# the build sides are GBs at 1e7+ vectors and broadcasting would OOM
-# the executors — exactly the swap the multiprobe docstring names.
-MP_BROADCAST_MAX_INPUT_BYTES = 256 * 1024 * 1024
+# SHUFFLE_HASH above it. Sizing: 128 MiB of source parquet is ~500k
+# 64-dim float vectors (random floats barely compress, ~260 B/row);
+# broadcast-side cost is then ~2 x 280 MB of in-memory rows for the
+# exact-verify vector sides (64 DOUBLES after the cast, ~560 B/row)
+# plus 2 x 20 MB of signature words — together the upper edge of what
+# a 4-8 GiB executor holds comfortably next to its task memory. Past
+# the gate the vector build sides alone are GBs at 1e7+ vectors and
+# broadcasting would OOM the executors — exactly the swap the
+# multiprobe docstring names.
+MP_BROADCAST_MAX_INPUT_BYTES = 128 * 1024 * 1024
 
 
 def _plan_size_bytes(df: DataFrame) -> int:

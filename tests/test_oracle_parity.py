@@ -50,13 +50,20 @@ def _multiset(rows, col_order):
     )
 
 
-def duck_con():
+def duck_con_for_dir(sf_dir: str, tables=TABLES):
+    """Oracle connection over an arbitrary warehouse dir — reused by
+    the adversarial-data parity tests (e.g. NULL-element embeddings)
+    so they compare with the exact same view setup the driver uses."""
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
+
+
+def duck_con():
+    return duck_con_for_dir(SF_DIR)
 
 
 ORACLE_CASES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
