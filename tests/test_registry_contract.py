@@ -158,9 +158,15 @@ def test_query_plan_cache_memoizes_and_invalidates(spark, sf_dir, tmp_path):
               "orders", "lineitem", "events", "documents", "embeddings"):
         shutil.copy(f"{sf_dir}/{t}.parquet", wh / f"{t}.parquet")
 
+    from canadiannewsdatapipeline_spark.queries.registry import (
+        is_plan_cached,
+    )
+
     fn = QUERIES["q3_value_counts"].fn
+    assert not is_plan_cached(spark, "q3_value_counts", str(wh))
     a = fn(spark, str(wh))
     assert fn(spark, str(wh)) is a
+    assert is_plan_cached(spark, "q3_value_counts", str(wh))
     total_a = sum(r["n"] for r in a.collect())
 
     # regenerate one input in place (bumped mtime) -> fresh plan
@@ -171,8 +177,15 @@ def test_query_plan_cache_memoizes_and_invalidates(spark, sf_dir, tmp_path):
         f"TO '{wh / 'events.parquet'}' (FORMAT PARQUET)"
     )
     os.utime(wh / "events.parquet")
+    # the ADVICE-2 scenario bench.py's plan field depends on: the bare
+    # KEY is still in the cache, but the stamp is stale — a repeat
+    # call will re-plan, and is_plan_cached must say so (bare key
+    # membership would lie and silently hide a measured build cost)
+    assert ("q3_value_counts", str(wh)) in spark._cndp_plan_cache
+    assert not is_plan_cached(spark, "q3_value_counts", str(wh))
     b = fn(spark, str(wh))
     assert b is not a
+    assert is_plan_cached(spark, "q3_value_counts", str(wh))
     total_b = sum(r["n"] for r in b.collect())
     assert total_b == 50 and total_a > 50, (total_a, total_b)
 
