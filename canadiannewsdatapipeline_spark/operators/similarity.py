@@ -524,12 +524,26 @@ def _plan_size_bytes(df: DataFrame) -> int:
     41.6M-row side, see ``_ann_lsh_multiprobe_distinct``), which is
     why the gate reads the INPUT relation, never an intermediate.
     Unknown size degrades to "huge" so the auto mode fails toward the
-    scale-safe shuffle joins."""
+    scale-safe shuffle joins — with a one-time warning, because a
+    silently degraded gate is a quiet ~2x perf regression (the
+    measured below-gate mode delta) if the py4j/Catalyst internals
+    this touches ever change shape (r6 advice)."""
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:
+    except Exception as exc:  # pragma: no cover - depends on py4j internals
+        import warnings
+
+        warnings.warn(
+            "Catalyst size estimate unavailable "
+            f"({type(exc).__name__}: {exc}); the multiprobe auto-gate "
+            "degrades to shuffle mode (scale-safe but ~2x slower below "
+            "the broadcast gate). Pass broadcast_corpus explicitly to "
+            "silence this.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         return 1 << 62
 
 
@@ -594,6 +608,8 @@ def _ann_lsh_multiprobe_distinct(
     hamming_max: int,
     dim: int,
     broadcast_corpus: bool = True,
+    tables_per_pass: int | None = None,
+    eager_passes: bool = False,
 ) -> DataFrame:
     """Bit-pool multi-probe sign-LSH over ALREADY-DISTINCT vectors.
 
@@ -652,9 +668,13 @@ def _ann_lsh_multiprobe_distinct(
     left to AQE because every one of these joins sits downstream of
     the mapInPandas signature stage, where Catalyst's size stats are
     known-garbage (measured: a 41.6M-row probe side chosen as a
-    broadcast build, 134 s). ``sigs`` is persisted: three consumers
-    (homes, probes, signature words); ContextCleaner unpersists when
-    unreferenced, swap for checkpoints on a cluster."""
+    broadcast build, 134 s). ``tables_per_pass``/``eager_passes``
+    bound the shuffle tier's candidate exchanges by slicing the table
+    list into K-table passes (see the chunking comment in the body).
+    ``sigs`` is persisted: three consumers (homes, probes, signature
+    words) — and every chunked pass reuses the one materialization;
+    ContextCleaner unpersists when unreferenced, swap for checkpoints
+    on a cluster."""
     from pyspark.storagelevel import StorageLevel
 
     n_words = (pool + _WORD_BITS - 1) // _WORD_BITS
@@ -709,34 +729,6 @@ def _ann_lsh_multiprobe_distinct(
 
     homes = sigs.select("id", F.posexplode("bk").alias("tbl", "bucket"))
     mask_arr = F.expr("array(" + ",".join(str(m) for m in masks) + ")")
-    probes = homes.select(
-        F.col("id").alias("id_a"),
-        "tbl",
-        F.explode(mask_arr).alias("mask"),
-        "bucket",
-    ).select(
-        "id_a", "tbl", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
-    )
-    # candidate pairs are born map-side inside this join's stage and
-    # screened immediately — they never shuffle. id_a < id_b keeps
-    # each (pair, table, flip) once (the XOR-difference mask is
-    # symmetric) and drops the mask-0 self-join. SHUFFLE_HASH hint:
-    # Catalyst cannot see the explode multiplicity behind the
-    # mapInPandas signature stage and (measured, fresh-x10) broadcast
-    # the 41.6M-row PROBE side as a BHJ build — 134 s for the join;
-    # a shuffled hash join building the smaller homes partition is
-    # 12.6 s and is the right plan at any scale (both sides grow
-    # with L*N).
-    cand = (
-        probes.join(
-            homes.select(F.col("id").alias("id_b"), "tbl", "bucket").hint(
-                "SHUFFLE_HASH"
-            ),
-            ["tbl", "bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
     words = sigs.select("id", *[f"w{m}" for m in range(n_words)])
     wa = words.select(
         F.col("id").alias("id_a"),
@@ -757,17 +749,52 @@ def _ann_lsh_multiprobe_distinct(
         corpus_side = F.broadcast
     else:
         corpus_side = lambda d: d.hint("SHUFFLE_HASH")  # noqa: E731
-    screened = (
-        cand.join(corpus_side(wa), "id_a")
-        .join(corpus_side(wb), "id_b")
-        .filter(hamming <= hamming_max)
-        .select("id_a", "id_b")
-    )
     ev = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).withColumn("sn", F.sqrt(_norm2("v")))
-    verified = (
-        screened.join(
+
+    def pass_pairs(homes_p: DataFrame) -> DataFrame:
+        """Candidate → Hamming screen → exact verify → threshold →
+        pair-dedup over one homes subset (all tables, or one
+        ``tables_per_pass`` slice). The single-pass call with the full
+        ``homes`` frame produces exactly the pre-chunking plan."""
+        probes = homes_p.select(
+            F.col("id").alias("id_a"),
+            "tbl",
+            F.explode(mask_arr).alias("mask"),
+            "bucket",
+        ).select(
+            "id_a",
+            "tbl",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
+        # candidate pairs are born map-side inside this join's stage
+        # and screened immediately — they never shuffle. id_a < id_b
+        # keeps each (pair, table, flip) once (the XOR-difference mask
+        # is symmetric) and drops the mask-0 self-join. SHUFFLE_HASH
+        # hint: Catalyst cannot see the explode multiplicity behind
+        # the mapInPandas signature stage and (measured, fresh-x10)
+        # broadcast the 41.6M-row PROBE side as a BHJ build — 134 s
+        # for the join; a shuffled hash join building the smaller
+        # homes partition is 12.6 s and is the right plan at any scale
+        # (both sides grow with L*N).
+        cand = (
+            probes.join(
+                homes_p.select(F.col("id").alias("id_b"), "tbl", "bucket").hint(
+                    "SHUFFLE_HASH"
+                ),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        screened = (
+            cand.join(corpus_side(wa), "id_a")
+            .join(corpus_side(wb), "id_b")
+            .filter(hamming <= hamming_max)
+            .select("id_a", "id_b")
+        )
+        verified = screened.join(
             corpus_side(
                 ev.select(
                     F.col("id").alias("id_a"),
@@ -776,8 +803,7 @@ def _ann_lsh_multiprobe_distinct(
                 )
             ),
             "id_a",
-        )
-        .join(
+        ).join(
             corpus_side(
                 ev.select(
                     F.col("id").alias("id_b"),
@@ -787,17 +813,65 @@ def _ann_lsh_multiprobe_distinct(
             ),
             "id_b",
         )
-    )
-    return (
-        _with_cosine_prenormed(verified, "ea", "eb")
-        .filter(F.col("cos_sim") >= threshold)
-        # pair-dedup AFTER the threshold via explicit aggregate (a pair
-        # can collide in several tables/probes; duplicate rows carry
-        # identical cosines so max() is value-exact — and see
-        # _ann_lsh_multitable_distinct for why not dropDuplicates)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cos_sim").alias("cos_sim"))
-    )
+        return (
+            _with_cosine_prenormed(verified, "ea", "eb")
+            .filter(F.col("cos_sim") >= threshold)
+            # pair-dedup AFTER the threshold via explicit aggregate (a
+            # pair can collide in several tables/probes; duplicate rows
+            # carry identical cosines so max() is value-exact — and see
+            # _ann_lsh_multitable_distinct for why not dropDuplicates)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cos_sim").alias("cos_sim"))
+        )
+
+    if not tables_per_pass or tables_per_pass >= n_tables:
+        return pass_pairs(homes)
+
+    # Chunked pass mode (the above-gate scale path, r6 verdict #1):
+    # one pipeline per ``tables_per_pass`` slice of the table list,
+    # results unioned and pair-deduped across passes. Output-identical
+    # to single-pass — the per-table candidate sets partition the full
+    # candidate set by table, and the cross-pass groupBy/max commutes
+    # with the per-pass one (duplicate pairs carry identical cosines).
+    # Why: in shuffle mode the UNSCREENED candidate stream is
+    # exchanged whole for the wa/wb attach — measured ~1e9 rows /
+    # >70 GB of shuffle files at threshold 0.4 x 60k vectors, which
+    # filled the box and died (SCALE.md §Round-6). Each pass exchanges
+    # only its slice's candidates, bounding per-exchange volume to
+    # ~tables_per_pass/n_tables of the whole.
+    #
+    # ``eager_passes`` additionally MATERIALIZES each pass (tiny
+    # post-threshold deduped pairs) via localCheckpoint before
+    # building the next, truncating the pass's lineage so a JVM GC
+    # lets ContextCleaner delete its shuffle files — bounding peak
+    # shuffle DISK, not just per-exchange volume, to ~one pass. The
+    # cost is running jobs at operator-construction time (documented
+    # deviation from the engine's lazy contract — reach for it only in
+    # the >500k-vector shuffle tier; swap localCheckpoint for
+    # reliable checkpoints on a real cluster).
+    import gc as _gc
+
+    chunks = [
+        (lo, min(lo + tables_per_pass, n_tables))
+        for lo in range(0, n_tables, tables_per_pass)
+    ]
+    parts: list[DataFrame] = []
+    for lo, hi in chunks:
+        part = pass_pairs(
+            homes.filter((F.col("tbl") >= lo) & (F.col("tbl") < hi))
+        )
+        if eager_passes:
+            part = part.localCheckpoint(eager=True)
+            # drop py4j refs to the pre-checkpoint plan, then nudge the
+            # JVM so ContextCleaner reclaims the pass's shuffle files
+            # before the next pass starts writing its own
+            _gc.collect()
+            emb.sparkSession.sparkContext._jvm.System.gc()
+        parts.append(part)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def ann_lsh_multiprobe_pairs(
@@ -812,6 +886,9 @@ def ann_lsh_multiprobe_pairs(
     hamming_max: int = 112,
     dim: int = 64,
     broadcast_corpus: bool | None = None,
+    broadcast_max_input_bytes: int | None = None,
+    tables_per_pass: int | None = None,
+    eager_passes: bool = False,
 ) -> DataFrame:
     """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
     sign-LSH with a packed-signature Hamming prefilter, wrapped in the
@@ -825,16 +902,48 @@ def ann_lsh_multiprobe_pairs(
 
     ``broadcast_corpus``: physical shape of the four corpus-side
     joins. ``None`` (default) auto-gates on the input relation's
-    Catalyst size estimate vs ``MP_BROADCAST_MAX_INPUT_BYTES`` — the
-    estimate is read HERE, on the file-source relation, because it is
-    the last point in the pipeline where Catalyst's stats are
-    trustworthy (post-mapInPandas they are garbage, see
-    ``_plan_size_bytes``). Booleans force a mode; output is identical
-    either way (equivalence pinned by
-    tests/test_similarity.py::test_multiprobe_shuffle_mode_output_equal)."""
+    Catalyst size estimate vs the broadcast gate — the estimate is
+    read HERE, on the file-source relation, because it is the last
+    point in the pipeline where Catalyst's stats are trustworthy
+    (post-mapInPandas they are garbage, see ``_plan_size_bytes``).
+    Booleans force a mode; output is identical either way
+    (equivalence pinned by
+    tests/test_similarity.py::test_multiprobe_shuffle_mode_output_equal).
+    The gate sizes the RAW input relation while the broadcast build
+    sides are built from post-cascade DISTINCT representatives, so it
+    is conservative by construction: a heavily duplicated corpus above
+    the gate whose distinct vectors would broadcast comfortably can
+    (and should) pass ``broadcast_corpus=True`` explicitly.
+
+    ``broadcast_max_input_bytes``: the gate threshold in bytes.
+    ``None`` reads the Spark conf
+    ``spark.cndp.mp.broadcastMaxInputBytes`` if set, else the module
+    constant ``MP_BROADCAST_MAX_INPUT_BYTES`` (128 MiB — sized for
+    4-8 GiB executors, see the constant's comment: 128 MiB of source
+    parquet is ~500k 64-dim vectors, whose two exact-verify build
+    sides are ~2 x 280 MB in memory plus 2 x 20 MB of signature
+    words). A cluster with 32 GiB executors can safely run 8x that:
+    set the conf (or pass the argument) to
+    ``8 * 128 * 1024 * 1024`` without editing the library.
+
+    ``tables_per_pass`` / ``eager_passes``: chunked pass mode for the
+    above-gate shuffle tier — see ``_ann_lsh_multiprobe_distinct``'s
+    chunking comment. ``tables_per_pass=K`` bounds every candidate
+    exchange to a K-table slice; ``eager_passes=True`` additionally
+    materializes each pass so its shuffle files are reclaimed before
+    the next pass runs (bounds peak shuffle disk; runs jobs at
+    operator-construction time)."""
     if broadcast_corpus is None:
+        if broadcast_max_input_bytes is None:
+            conf_val = emb.sparkSession.conf.get(
+                "spark.cndp.mp.broadcastMaxInputBytes", None
+            )
+            broadcast_max_input_bytes = (
+                int(conf_val) if conf_val is not None
+                else MP_BROADCAST_MAX_INPUT_BYTES
+            )
         broadcast_corpus = (
-            _plan_size_bytes(emb) <= MP_BROADCAST_MAX_INPUT_BYTES
+            _plan_size_bytes(emb) <= broadcast_max_input_bytes
         )
     return _exact_dup_cascade(
         emb,
@@ -853,6 +962,8 @@ def ann_lsh_multiprobe_pairs(
             hamming_max,
             dim,
             broadcast_corpus=broadcast_corpus,
+            tables_per_pass=tables_per_pass,
+            eager_passes=eager_passes,
         ),
     )
 

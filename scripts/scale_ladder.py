@@ -403,7 +403,18 @@ def main() -> int:
         # warmup (plan build is seconds against such a row; label the
         # number single-pass in SCALE.md). Default stays warmup +
         # min-of-2.
-        n_trials = int(os.environ.get("SPARK_GRAFT_LADDER_TRIALS", "2"))
+        raw_trials = os.environ.get("SPARK_GRAFT_LADDER_TRIALS", "2")
+        try:
+            # clamp: 0/negative would skip every trial and crash on
+            # min([]) with an unhelpful ValueError (r6 advice)
+            n_trials = max(1, int(raw_trials))
+        except ValueError:
+            print(
+                f"ERROR: SPARK_GRAFT_LADDER_TRIALS={raw_trials!r} is not an "
+                "integer (use 1 for single-pass mode, >=2 for warmup + min-of-N)",
+                file=sys.stderr,
+            )
+            return 2
         for name in subset:
             fn = EXTRA_QUERIES.get(name) or QUERIES[name].fn
             if n_trials > 1:

@@ -285,6 +285,41 @@ def test_multiprobe_shuffle_mode_plan_shape(spark, monkeypatch):
             assert "mv#" not in line and "embedding#" not in line, line
 
 
+def test_multiprobe_chunked_shuffle_plan_shape(spark):
+    """Chunked pass mode in the above-gate shuffle tier (r7): with
+    n_tables=8 and tables_per_pass=3 the plan must contain THREE
+    independent per-pass join pipelines — each with its own pinned
+    SHUFFLE_HASH probes-homes join and four SHUFFLE_HASH corpus
+    attaches (>= 15 ShuffledHashJoin total) — united under a Union
+    feeding the cross-pass pair-dedup. Each pass's candidate exchange
+    carries only its 3-table slice, which is the whole point: the
+    single-pass shuffle form exchanges the full unscreened candidate
+    stream (~1e9 rows / >70 GB of shuffle files at threshold 0.4 x
+    60k vectors — measured, it filled the disk and died). And as
+    everywhere in this family: no Exchange may carry a raw vector —
+    the quadratic candidate stream stays ids-only; only the linear
+    corpus relation ships vectors."""
+    from canadiannewsdatapipeline_spark.operators import similarity as sim
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = sim.ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding", 0.4, n_tables=8,
+        broadcast_corpus=False, tables_per_pass=3,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert plan.count("ShuffledHashJoin") >= 15, plan.count("ShuffledHashJoin")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "mv#" not in line and "embedding#" not in line, line
+
+
 def test_dedup_cascade_shuffles_keys_not_text(spark):
     # text-dedup cascade: the collapse groups on the md5 token key and
     # the signature agg on rep ids — no Exchange keyed on raw text

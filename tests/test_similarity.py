@@ -191,6 +191,67 @@ def test_multiprobe_shuffle_mode_output_equal(emb):
     assert len(bc) > 0
 
 
+def test_multiprobe_chunked_passes_output_equal(emb):
+    """Chunked pass mode (r7: the above-gate shuffle tier's bounded-
+    exchange path) is a PHYSICAL reshaping only: slicing the table
+    list into tables_per_pass passes partitions the candidate set by
+    table, and the cross-pass pair-dedup commutes with the per-pass
+    one — pairs AND cosines must be bit-identical to the single-pass
+    broadcast default, in both the lazy-union and the eager
+    (per-pass localCheckpoint) forms."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    args = dict(pool=252, n_bits=12, n_tables=8, probe_radius=1,
+                hamming_max=112)
+    rows = lambda **kw: {  # noqa: E731
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args, **kw
+        ).collect()
+    }
+    single = rows(broadcast_corpus=True)
+    chunked = rows(broadcast_corpus=False, tables_per_pass=3)
+    eager = rows(broadcast_corpus=False, tables_per_pass=3,
+                 eager_passes=True)
+    assert single == chunked
+    assert single == eager
+    assert len(single) > 0
+
+
+def test_multiprobe_gate_knob_flips_mode(spark, emb):
+    """The broadcast gate is cluster-configurable (r6 verdict #2):
+    forcing a 0-byte gate — via the argument or via the
+    spark.cndp.mp.broadcastMaxInputBytes conf — must flip the auto
+    mode to the pinned SHUFFLE_HASH corpus joins; a huge gate must
+    keep the broadcast shape. Plan-asserted on the same input."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    def plan(**kw):
+        df = ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, n_tables=8, **kw
+        )
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    # argument knob: tiny gate -> all four corpus joins shuffle
+    assert plan(broadcast_max_input_bytes=0).count("ShuffledHashJoin") >= 5
+    # argument knob: huge gate -> corpus joins broadcast
+    assert "BroadcastHashJoin" in plan(broadcast_max_input_bytes=1 << 50)
+    # conf knob (read only when neither boolean nor argument is given)
+    spark.conf.set("spark.cndp.mp.broadcastMaxInputBytes", "0")
+    try:
+        assert plan().count("ShuffledHashJoin") >= 5
+    finally:
+        spark.conf.unset("spark.cndp.mp.broadcastMaxInputBytes")
+    assert "BroadcastHashJoin" in plan()
+
+
 def test_ann_pairs_compose_under_set_ops(emb):
     """Regression: the pair-dedup must be a plain aggregate — a
     Deduplicate(subset) node here broke downstream set-op rewrites
