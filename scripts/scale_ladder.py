@@ -152,6 +152,39 @@ def _ann_mp_t04_count(spark, sf_dir):
     )
 
 
+def _mp_forced_shuffle_chunked(spark, sf_dir):
+    """The threshold-0.4 multiprobe config forced to shuffle mode WITH
+    the r7 chunked pass mode: 160 tables in 8 eager 20-table passes.
+    The single-pass shuffle form exchanges the whole unscreened
+    candidate stream (~1e9 rows at fresh-x30) and died filling >70 GB
+    of shuffle files (SCALE.md §Round-6); each chunked pass exchanges
+    ~1/8 of that and eager_passes reclaims a pass's shuffle files
+    before the next starts, so the same row completes with bounded
+    disk. Timed against ann_mp_t04 (broadcast mode) on the same
+    warehouse, this prices the above-gate chunked tier."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+    from canadiannewsdatapipeline_spark.queries.llm import (
+        _COS_THRESHOLD,
+        _MP_BITS,
+        _MP_HAMMING,
+        _MP_POOL,
+        _MP_RADIUS,
+        _MP_TABLES,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_COS_THRESHOLD, pool=_MP_POOL, n_bits=_MP_BITS,
+        n_tables=_MP_TABLES, probe_radius=_MP_RADIUS,
+        hamming_max=_MP_HAMMING, broadcast_corpus=False,
+        tables_per_pass=20, eager_passes=True,
+    )
+
+
 def _mp_forced_shuffle(spark, sf_dir, prod: bool):
     """The registered/prod multiprobe config with the corpus-side
     joins FORCED to shuffle mode (broadcast_corpus=False) — the shape
@@ -197,6 +230,7 @@ EXTRA_QUERIES = {
     # broadcast-vs-shuffle delta, not to run every ladder)
     "ann_mp_t04_shuffle": lambda s, d: _mp_forced_shuffle(s, d, False),
     "ann_lsh_prod_mp_shuffle": lambda s, d: _mp_forced_shuffle(s, d, True),
+    "ann_mp_t04_shuffle_chunked": _mp_forced_shuffle_chunked,
 }
 
 # the scale-safe headline set (quadratic CORRECTNESS-only baselines
