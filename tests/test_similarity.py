@@ -220,6 +220,35 @@ def test_multiprobe_chunked_passes_output_equal(emb):
     assert len(single) > 0
 
 
+def test_multiprobe_eager_passes_truncate_lineage(spark, emb):
+    """The eager chunked form's disk bound RELIES on lineage
+    truncation: each pass is localCheckpoint'ed, so the returned
+    frame's plan must read checkpointed RDD blocks (LogicalRDD scans),
+    with no MapInPandas signature stage or SHUFFLE_HASH candidate
+    joins left upstream — those belong to the per-pass lineage whose
+    shuffle files ContextCleaner reclaims between passes. If a future
+    edit accidentally keeps the passes lazy under eager_passes=True,
+    the full lineage reappears here and the peak-disk bound is gone."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    df = ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding", THRESHOLD, n_tables=8,
+        broadcast_corpus=False, tables_per_pass=4, eager_passes=True,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the cascade's expand joins remain lazy downstream; the pass
+    # pipelines themselves must be gone, replaced by RDD scans
+    assert "Scan ExistingRDD" in plan
+    assert "MapInPandas" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_multiprobe_gate_knob_flips_mode(spark, emb):
     """The broadcast gate is cluster-configurable (r6 verdict #2):
     forcing a 0-byte gate — via the argument or via the
