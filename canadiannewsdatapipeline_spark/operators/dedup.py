@@ -517,10 +517,15 @@ def lsh_verified_pairs(
     2-4x and an unexecuted persisted reference re-prints its upstream
     exchanges; at runtime each computes once and later references are
     InMemoryTableScans (39 of them in the executed plan at sf0.001).
-    Audits that explain an ALREADY-EXECUTED frame see ~64 because the
-    finalized AdaptiveSparkPlan prints both initial and final plan
-    sections. Every exchange is keyed on ids / 16-byte token keys /
-    (band, sig) — none grows with band count, text never shuffles."""
+    Audits see ~64 whenever the shared cached subframes were already
+    MATERIALIZED in the session — by executing this query, or merely
+    by building ``dedup_clusters``, whose construction-time
+    convergence loop executes them (reproduced: 22 in a fresh
+    session, 64 right after ``dedup_clusters`` is built) — because
+    each materialized cache prints as a finalized AdaptiveSparkPlan
+    with both initial and final sections. Every exchange is keyed on
+    ids / 16-byte token keys / (band, sig) — none grows with band
+    count, text never shuffles."""
     if not collapse_identical:
         return _lsh_verified_pairs_flat(
             df, text_col, id_col, num_hashes, rows_per_band, n, threshold,
