@@ -933,15 +933,26 @@ def ann_lsh_multiprobe_pairs(
     materializes each pass so its shuffle files are reclaimed before
     the next pass runs (bounds peak shuffle disk; runs jobs at
     operator-construction time)."""
+    if tables_per_pass is not None and tables_per_pass < 1:
+        raise ValueError(
+            f"tables_per_pass must be >= 1 (got {tables_per_pass}); "
+            "use None for the single-pass default"
+        )
     if broadcast_corpus is None:
         if broadcast_max_input_bytes is None:
             conf_val = emb.sparkSession.conf.get(
                 "spark.cndp.mp.broadcastMaxInputBytes", None
             )
-            broadcast_max_input_bytes = (
-                int(conf_val) if conf_val is not None
-                else MP_BROADCAST_MAX_INPUT_BYTES
-            )
+            if conf_val is None:
+                broadcast_max_input_bytes = MP_BROADCAST_MAX_INPUT_BYTES
+            else:
+                try:
+                    broadcast_max_input_bytes = int(conf_val)
+                except ValueError:
+                    raise ValueError(
+                        "spark.cndp.mp.broadcastMaxInputBytes must be an "
+                        f"integer byte count, got {conf_val!r}"
+                    ) from None
         broadcast_corpus = (
             _plan_size_bytes(emb) <= broadcast_max_input_bytes
         )

@@ -281,6 +281,25 @@ def test_multiprobe_gate_knob_flips_mode(spark, emb):
     assert "BroadcastHashJoin" in plan()
 
 
+def test_multiprobe_knob_validation(spark, emb):
+    """Bad knob values fail fast with named errors, not deep in plan
+    construction: tables_per_pass < 1 and a non-integer gate conf."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    with pytest.raises(ValueError, match="tables_per_pass"):
+        ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, tables_per_pass=0
+        )
+    spark.conf.set("spark.cndp.mp.broadcastMaxInputBytes", "lots")
+    try:
+        with pytest.raises(ValueError, match="broadcastMaxInputBytes"):
+            ann_lsh_multiprobe_pairs(emb, "vec_id", "embedding", THRESHOLD)
+    finally:
+        spark.conf.unset("spark.cndp.mp.broadcastMaxInputBytes")
+
+
 def test_ann_pairs_compose_under_set_ops(emb):
     """Regression: the pair-dedup must be a plain aggregate — a
     Deduplicate(subset) node here broke downstream set-op rewrites
