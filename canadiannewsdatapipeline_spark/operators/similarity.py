@@ -841,16 +841,23 @@ def _ann_lsh_multiprobe_distinct(
     # ~tables_per_pass/n_tables of the whole.
     #
     # ``eager_passes`` additionally MATERIALIZES each pass (tiny
-    # post-threshold deduped pairs) via localCheckpoint before
-    # building the next, truncating the pass's lineage so a JVM GC
-    # lets ContextCleaner delete its shuffle files — bounding peak
-    # shuffle DISK, not just per-exchange volume, to ~one pass. The
-    # cost is running jobs at operator-construction time (documented
-    # deviation from the engine's lazy contract — reach for it only in
-    # the >500k-vector shuffle tier; swap localCheckpoint for
-    # reliable checkpoints on a real cluster).
+    # post-threshold deduped pairs) before building the next,
+    # truncating the pass's lineage so a JVM GC lets ContextCleaner
+    # delete its shuffle files — bounding peak shuffle DISK, not just
+    # per-exchange volume, to ~one pass. The cost is running jobs at
+    # operator-construction time (documented deviation from the
+    # engine's lazy contract — reach for it only in the >500k-vector
+    # shuffle tier). Checkpoint tier: if the session has a RELIABLE
+    # checkpoint dir configured (SparkContext.setCheckpointDir —
+    # cluster storage), pass results checkpoint there and survive
+    # executor loss; otherwise localCheckpoint stores blocks on
+    # executors (fine in local mode / when a lost pass may re-run).
     import gc as _gc
 
+    sc = emb.sparkSession.sparkContext
+    has_reliable_dir = (
+        eager_passes and sc._jsc.sc().getCheckpointDir().isDefined()
+    )
     chunks = [
         (lo, min(lo + tables_per_pass, n_tables))
         for lo in range(0, n_tables, tables_per_pass)
@@ -861,12 +868,15 @@ def _ann_lsh_multiprobe_distinct(
             homes.filter((F.col("tbl") >= lo) & (F.col("tbl") < hi))
         )
         if eager_passes:
-            part = part.localCheckpoint(eager=True)
+            if has_reliable_dir:
+                part = part.checkpoint(eager=True)
+            else:
+                part = part.localCheckpoint(eager=True)
             # drop py4j refs to the pre-checkpoint plan, then nudge the
             # JVM so ContextCleaner reclaims the pass's shuffle files
             # before the next pass starts writing its own
             _gc.collect()
-            emb.sparkSession.sparkContext._jvm.System.gc()
+            sc._jvm.System.gc()
         parts.append(part)
     out = parts[0]
     for part in parts[1:]:
@@ -932,7 +942,11 @@ def ann_lsh_multiprobe_pairs(
     exchange to a K-table slice; ``eager_passes=True`` additionally
     materializes each pass so its shuffle files are reclaimed before
     the next pass runs (bounds peak shuffle disk; runs jobs at
-    operator-construction time)."""
+    operator-construction time). Eager passes checkpoint RELIABLY
+    when the session has a checkpoint dir configured
+    (``SparkContext.setCheckpointDir`` to cluster storage — pass
+    results then survive executor loss); without one they
+    localCheckpoint to executor blocks."""
     if tables_per_pass is not None and tables_per_pass < 1:
         raise ValueError(
             f"tables_per_pass must be >= 1 (got {tables_per_pass}); "

@@ -281,6 +281,48 @@ def test_multiprobe_gate_knob_flips_mode(spark, emb):
     assert "BroadcastHashJoin" in plan()
 
 
+def test_multiprobe_eager_passes_reliable_checkpoint(spark, emb, tmp_path):
+    """With a reliable checkpoint dir configured, eager passes must
+    checkpoint THERE (pass results survive executor loss on a
+    cluster) instead of to executor-local blocks — and the output is
+    unchanged. The dir is observable: checkpoint files appear."""
+    import os
+
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    args = dict(pool=252, n_bits=12, n_tables=8, probe_radius=1,
+                hamming_max=112)
+    want = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args
+        ).collect()
+    }
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    try:
+        got = {
+            tuple(r)
+            for r in ann_lsh_multiprobe_pairs(
+                emb, "vec_id", "embedding", THRESHOLD, **args,
+                broadcast_corpus=False, tables_per_pass=3,
+                eager_passes=True,
+            ).collect()
+        }
+    finally:
+        # no public unset; point the context back at nothing by
+        # clearing the JVM option so later tests see local mode
+        # (Scala setter name contains '$' — reach it via getattr)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+    assert got == want and len(got) > 0
+    found = any(files for _, _, files in os.walk(ckdir))
+    assert found, "no checkpoint files written under the reliable dir"
+
+
 def test_multiprobe_knob_validation(spark, emb):
     """Bad knob values fail fast with named errors, not deep in plan
     construction: tables_per_pass < 1 and a non-integer gate conf."""
