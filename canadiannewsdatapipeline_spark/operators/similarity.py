@@ -513,6 +513,107 @@ _WORD_BITS = 63  # bits per packed signature word (bit 63 would overflow
 # multiprobe docstring names.
 MP_BROADCAST_MAX_INPUT_BYTES = 128 * 1024 * 1024
 
+# Shuffle-disk budget for ONE multiprobe pass (r7 verdict #1: the
+# chunked pass mode sizes itself instead of relying on the user to
+# know the disk wall exists). Default sized for this box's shared
+# local dirs: the single-pass shuffle tier died past >70 GB of
+# shuffle files at threshold 0.4 x 60k vectors, while the measured
+# 4x40-pass run peaked at 29.9 GB — 32 GiB reproduces that run's K
+# from the sizing rule (see _mp_auto_tables_per_pass). A cluster
+# whose executors own real shuffle volumes raises it via the
+# ``spark.cndp.mp.diskBudgetBytes`` conf or the
+# ``disk_budget_bytes`` argument without editing the library.
+MP_DISK_BUDGET_BYTES = 32 * 1024 * 1024 * 1024
+
+# Calibration constants for the candidate-stream estimate (all from
+# measured r6/r7 ladder data, SCALE.md §Round-6/7):
+# - bytes per input embedding row in parquet: random float32 vectors
+#   barely compress; measured 262 B/row at dim=64 across every fresh
+#   warehouse (x10/x30/x100), i.e. ~4 B per element + ~16 B row
+#   overhead.
+# - shuffle bytes per candidate (pair, table, probe) row: aggregate
+#   slope of peak shuffle disk over per-pass candidate volume at
+#   fresh-x30 / threshold 0.4 — the 4x40-pass run peaked at 29.9 GB
+#   for ~4.2e8 candidates/pass (~70 B per candidate across the
+#   pass's id-only exchanges + screen/verify attaches; the 8x20 run's
+#   24.3 GB / 2.1e8 is higher per-row because the persisted
+#   signatures and concurrent stage files are a fixed floor the
+#   marginal constant deliberately over-absorbs).
+_MP_EMB_ROW_BYTES = lambda dim: 4 * dim + 16  # noqa: E731
+_MP_CANDIDATE_ROW_BYTES = 70
+
+
+def _mp_candidate_stream_bytes(
+    input_bytes: int,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    probe_radius: int,
+) -> int:
+    """Estimated shuffle volume of the multiprobe's UNSCREENED
+    candidate stream, from the one trustworthy Catalyst stat (the
+    input relation's file size — see ``_plan_size_bytes``).
+
+    Model: N ≈ input_bytes / (4·dim + 16) rows; expected candidates
+    under uniform bucketing ≈ n_tables · n_masks · N² / 2^n_bits
+    (each of the L tables joins every probe row — home bucket plus
+    its Hamming-radius flips, ``_probe_masks`` — against the home
+    rows sharing its n_bits-bit bucket); ~70 B of shuffle files per
+    candidate row (calibrated, see ``_MP_CANDIDATE_ROW_BYTES``).
+    Checked against the measured r6/r7 datapoints in Spark-free unit
+    tests (tests/test_mp_auto_sizing.py): fresh-x10 (~1.9e8
+    candidates, ~13 GB — single-pass fits) vs fresh-x30 (~1.7e9,
+    ~118 GB — the rung that died at the disk wall). Deliberately
+    conservative for skewed or heavily-duplicated corpora: skew only
+    RAISES the true N²/2^k term, and the exact-dup cascade shrinks N
+    before the quadratic stages, so the estimate errs toward
+    chunking sooner — a bounded ~3x wall cost, never a died-at-70-GB
+    cost."""
+    n_rows = max(input_bytes // _MP_EMB_ROW_BYTES(dim), 1)
+    n_masks = len(_probe_masks(n_bits, probe_radius))
+    est_pairs = (n_tables * n_masks * n_rows * n_rows) >> n_bits
+    return est_pairs * _MP_CANDIDATE_ROW_BYTES
+
+
+def _mp_auto_tables_per_pass(
+    input_bytes: int,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    probe_radius: int,
+    disk_budget_bytes: int,
+) -> int | None:
+    """The documented sizing rule (SCALE.md §Round-7), now code:
+    K ≈ candidate-stream bytes ÷ per-pass disk budget. Returns the
+    ``tables_per_pass`` the shuffle tier should use, or ``None`` when
+    the whole stream fits the budget and single-pass is cheaper
+    (chunking below the disk wall is a measured ~3x wall LOSS).
+    Reproduces the measured good point: at fresh-x30 / threshold 0.4
+    / 160 tables with the default 32 GiB budget this returns 40 —
+    exactly the 4x40-pass configuration measured at 621.4 s /
+    29.9 GB peak (SCALE_LADDER_CHUNKED_r07.json)."""
+    est = _mp_candidate_stream_bytes(
+        input_bytes, dim, n_tables, n_bits, probe_radius
+    )
+    if est <= disk_budget_bytes:
+        return None
+    n_passes = min(-(-est // disk_budget_bytes), n_tables)
+    return -(-n_tables // n_passes)
+
+
+def _int_conf(spark, key: str) -> int | None:
+    """Read a Spark conf as an integer byte count; ``None`` if unset;
+    a named ValueError (not a deep py4j failure) on a non-integer."""
+    val = spark.conf.get(key, None)
+    if val is None:
+        return None
+    try:
+        return int(val)
+    except ValueError:
+        raise ValueError(
+            f"{key} must be an integer byte count, got {val!r}"
+        ) from None
+
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for ``df``'s optimized logical plan.
@@ -825,6 +926,19 @@ def _ann_lsh_multiprobe_distinct(
         )
 
     if not tables_per_pass or tables_per_pass >= n_tables:
+        if eager_passes:
+            # r7 advice: a caller asking for the bounded-disk eager
+            # behavior with no effective chunking would otherwise get
+            # the lazy single-pass plan silently — no materialization,
+            # no disk bound, no signal.
+            raise ValueError(
+                "eager_passes=True has no effect without chunking: "
+                f"tables_per_pass={tables_per_pass!r} with "
+                f"n_tables={n_tables} resolves to the single-pass "
+                "plan, which materializes nothing at construction "
+                "time. Pass tables_per_pass < n_tables (or leave "
+                "both unset and let the shuffle tier auto-size)."
+            )
         return pass_pairs(homes)
 
     # Chunked pass mode (the above-gate scale path, r6 verdict #1):
@@ -852,6 +966,13 @@ def _ann_lsh_multiprobe_distinct(
     # cluster storage), pass results checkpoint there and survive
     # executor loss; otherwise localCheckpoint stores blocks on
     # executors (fine in local mode / when a lost pass may re-run).
+    # Operational hygiene (r7 advice): reliable checkpoint FILES are
+    # only reclaimed by ContextCleaner when
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true —
+    # otherwise each invocation leaves one small directory per pass
+    # (tiny post-threshold deduped pairs, not a disk-bound risk) on
+    # cluster storage for the app lifetime. Set that conf, or sweep
+    # the checkpoint dir, on clusters that run this repeatedly.
     import gc as _gc
 
     sc = emb.sparkSession.sparkContext
@@ -898,7 +1019,8 @@ def ann_lsh_multiprobe_pairs(
     broadcast_corpus: bool | None = None,
     broadcast_max_input_bytes: int | None = None,
     tables_per_pass: int | None = None,
-    eager_passes: bool = False,
+    eager_passes: bool | None = None,
+    disk_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
     sign-LSH with a packed-signature Hamming prefilter, wrapped in the
@@ -939,37 +1061,104 @@ def ann_lsh_multiprobe_pairs(
     ``tables_per_pass`` / ``eager_passes``: chunked pass mode for the
     above-gate shuffle tier — see ``_ann_lsh_multiprobe_distinct``'s
     chunking comment. ``tables_per_pass=K`` bounds every candidate
-    exchange to a K-table slice; ``eager_passes=True`` additionally
-    materializes each pass so its shuffle files are reclaimed before
+    exchange to a K-table slice; eager passes additionally
+    materialize each pass so its shuffle files are reclaimed before
     the next pass runs (bounds peak shuffle disk; runs jobs at
-    operator-construction time). Eager passes checkpoint RELIABLY
-    when the session has a checkpoint dir configured
+    operator-construction time — a disclosed deviation from the
+    engine's lazy contract). Eager passes checkpoint RELIABLY when
+    the session has a checkpoint dir configured
     (``SparkContext.setCheckpointDir`` to cluster storage — pass
-    results then survive executor loss); without one they
-    localCheckpoint to executor blocks."""
+    results then survive executor loss; set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` there
+    or the small per-pass checkpoint dirs persist for the app
+    lifetime); without one they localCheckpoint to executor blocks.
+
+    **Auto-sizing (r7 verdict #1)**: with ``tables_per_pass=None`` in
+    the shuffle tier, the operator sizes K itself — it estimates the
+    unscreened candidate-stream volume from the input relation's
+    Catalyst size (``_mp_candidate_stream_bytes``, calibrated on the
+    measured r6/r7 ladder) and compares it against a per-pass disk
+    budget: the ``disk_budget_bytes`` argument, else the
+    ``spark.cndp.mp.diskBudgetBytes`` conf, else
+    ``MP_DISK_BUDGET_BYTES`` (32 GiB, sized for this box). Stream
+    fits → the cheaper single-pass plan (chunking below the disk
+    wall is a measured ~3x wall loss); stream exceeds the budget →
+    K = ceil(n_tables / ceil(stream / budget)) chunked passes, EAGER
+    by default (lazy chunking bounds per-exchange rows but lets all
+    passes' shuffle files accumulate — the disk bound needs the
+    materialization barrier). An explicit ``tables_per_pass`` always
+    wins (pass ``tables_per_pass=n_tables`` to pin single-pass);
+    ``eager_passes=None`` means "eager iff auto-chunking engaged",
+    explicit booleans force the form. ``eager_passes=True`` without
+    effective chunking raises (or, when auto-sizing itself concluded
+    the stream fits the budget, warns and stays lazy — the requested
+    disk bound already holds without passes)."""
     if tables_per_pass is not None and tables_per_pass < 1:
         raise ValueError(
             f"tables_per_pass must be >= 1 (got {tables_per_pass}); "
             "use None for the single-pass default"
         )
+    input_bytes: int | None = None
     if broadcast_corpus is None:
         if broadcast_max_input_bytes is None:
-            conf_val = emb.sparkSession.conf.get(
-                "spark.cndp.mp.broadcastMaxInputBytes", None
+            broadcast_max_input_bytes = _int_conf(
+                emb.sparkSession, "spark.cndp.mp.broadcastMaxInputBytes"
             )
-            if conf_val is None:
+            if broadcast_max_input_bytes is None:
                 broadcast_max_input_bytes = MP_BROADCAST_MAX_INPUT_BYTES
-            else:
-                try:
-                    broadcast_max_input_bytes = int(conf_val)
-                except ValueError:
-                    raise ValueError(
-                        "spark.cndp.mp.broadcastMaxInputBytes must be an "
-                        f"integer byte count, got {conf_val!r}"
-                    ) from None
-        broadcast_corpus = (
-            _plan_size_bytes(emb) <= broadcast_max_input_bytes
+        input_bytes = _plan_size_bytes(emb)
+        broadcast_corpus = input_bytes <= broadcast_max_input_bytes
+    if broadcast_corpus and tables_per_pass is None and eager_passes:
+        raise ValueError(
+            "eager_passes=True with no tables_per_pass in broadcast "
+            "mode: the candidate stream is screened in-stage and "
+            "never materialized, so there are no passes to make "
+            "eager. Pass tables_per_pass=K, or broadcast_corpus="
+            "False to enter the shuffle tier where auto-sizing "
+            "applies."
         )
+    if not broadcast_corpus and tables_per_pass is None:
+        # Auto-size the chunked pass mode: the sizing rule
+        # (SCALE.md §Round-7) as mechanism, so the shuffle tier never
+        # runs a candidate stream into the disk wall by default.
+        if disk_budget_bytes is None:
+            disk_budget_bytes = _int_conf(
+                emb.sparkSession, "spark.cndp.mp.diskBudgetBytes"
+            )
+            if disk_budget_bytes is None:
+                disk_budget_bytes = MP_DISK_BUDGET_BYTES
+        if disk_budget_bytes < 1:
+            raise ValueError(
+                "disk_budget_bytes must be >= 1 "
+                f"(got {disk_budget_bytes})"
+            )
+        if input_bytes is None:
+            input_bytes = _plan_size_bytes(emb)
+        tables_per_pass = _mp_auto_tables_per_pass(
+            input_bytes, dim, n_tables, n_bits, probe_radius,
+            disk_budget_bytes,
+        )
+        if tables_per_pass is None:
+            if eager_passes:
+                import warnings
+
+                warnings.warn(
+                    "eager_passes=True requested but the estimated "
+                    "candidate stream "
+                    f"({_mp_candidate_stream_bytes(input_bytes, dim, n_tables, n_bits, probe_radius)} B) "
+                    f"fits the disk budget ({disk_budget_bytes} B): "
+                    "the single-pass plan already satisfies the "
+                    "requested disk bound, so no passes are "
+                    "materialized. Pass tables_per_pass=K to force "
+                    "chunking.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            eager_passes = False
+        elif eager_passes is None:
+            eager_passes = True
+    if eager_passes is None:
+        eager_passes = False
     return _exact_dup_cascade(
         emb,
         id_col,

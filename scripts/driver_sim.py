@@ -56,6 +56,13 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(
+                "usage: driver_sim.py [--json OUT.json] [SF_DIR] "
+                "[QUERY ...]  (--json requires a path)",
+                file=sys.stderr,
+            )
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

@@ -192,7 +192,13 @@ def _mp_forced_shuffle(spark, sf_dir, prod: bool):
     against the broadcast-mode rows on the same warehouses, this
     prices the mode delta at ladder scale (the gate's crossover is
     memory-bound, not wall-bound: above it broadcast OOMs executors
-    rather than losing on wall — see similarity.py)."""
+    rather than losing on wall — see similarity.py).
+
+    tables_per_pass is pinned to n_tables since r8: with the r8
+    auto-sizer, a bare broadcast_corpus=False call above the disk
+    budget would auto-chunk — the right default for a user, but this
+    row exists to measure the SINGLE-PASS shuffle anchor, so it pins
+    the pre-auto form explicitly (the documented opt-out)."""
     from canadiannewsdatapipeline_spark.operators.similarity import (
         PROD_NEAR_DUP_MP,
         ann_lsh_multiprobe_pairs,
@@ -212,7 +218,58 @@ def _mp_forced_shuffle(spark, sf_dir, prod: bool):
         return ann_lsh_multiprobe_pairs(
             emb, "vec_id", "embedding",
             **PROD_NEAR_DUP_MP, broadcast_corpus=False,
+            tables_per_pass=PROD_NEAR_DUP_MP["n_tables"],
         )
+    return ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_COS_THRESHOLD, pool=_MP_POOL, n_bits=_MP_BITS,
+        n_tables=_MP_TABLES, probe_radius=_MP_RADIUS,
+        hamming_max=_MP_HAMMING, broadcast_corpus=False,
+        tables_per_pass=_MP_TABLES,
+    )
+
+
+def _mp_prod_shuffle_chunked(spark, sf_dir):
+    """r7 verdict #4: the PROD preset with the chunk/eager knobs
+    engaged through its **overrides pass-through, in forced shuffle
+    mode — pins that the knobs compose with the preset at scale. The
+    prod candidate stream is ~10^3x smaller than the t04 stress
+    row's, so this is expected to be boring: 4-table eager passes
+    over the preset's 16 tables."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        prod_near_dup_pairs,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prod_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        broadcast_corpus=False, tables_per_pass=4, eager_passes=True,
+    )
+
+
+def _mp_t04_shuffle_auto(spark, sf_dir):
+    """r8: the t04 config in the shuffle tier with EVERYTHING ELSE
+    default — what a user above the broadcast gate gets without
+    knowing any knob exists. The auto-sizer estimates the candidate
+    stream from the input relation's Catalyst size, compares it to
+    spark.cndp.mp.diskBudgetBytes (default 32 GiB) and picks
+    tables_per_pass + eager passes itself; at fresh-x30 the sizing
+    rule lands on the measured-good 4x40-pass point."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+    from canadiannewsdatapipeline_spark.queries.llm import (
+        _COS_THRESHOLD,
+        _MP_BITS,
+        _MP_HAMMING,
+        _MP_POOL,
+        _MP_RADIUS,
+        _MP_TABLES,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_multiprobe_pairs(
         emb, "vec_id", "embedding",
         threshold=_COS_THRESHOLD, pool=_MP_POOL, n_bits=_MP_BITS,
@@ -231,6 +288,8 @@ EXTRA_QUERIES = {
     "ann_mp_t04_shuffle": lambda s, d: _mp_forced_shuffle(s, d, False),
     "ann_lsh_prod_mp_shuffle": lambda s, d: _mp_forced_shuffle(s, d, True),
     "ann_mp_t04_shuffle_chunked": _mp_forced_shuffle_chunked,
+    "ann_lsh_prod_mp_shuffle_chunked": _mp_prod_shuffle_chunked,
+    "ann_mp_t04_shuffle_auto": _mp_t04_shuffle_auto,
 }
 
 # the scale-safe headline set (quadratic CORRECTNESS-only baselines

@@ -320,6 +320,82 @@ def test_multiprobe_chunked_shuffle_plan_shape(spark):
             assert "mv#" not in line and "embedding#" not in line, line
 
 
+def test_multiprobe_auto_chunking_flips_on_disk_budget(spark):
+    """r7 verdict #1: in the shuffle tier with NO chunking knobs, the
+    operator sizes tables_per_pass itself from the candidate-stream
+    estimate vs the disk budget. A tiny budget (argument or the
+    spark.cndp.mp.diskBudgetBytes conf) must flip the auto mode to
+    the chunked Union shape; the default budget must keep the cheaper
+    single-pass plan at this input size (chunking below the disk wall
+    is a measured ~3x wall loss). eager_passes=False keeps the
+    flipped plan lazy so the shape is assertable without running
+    construction-time jobs."""
+    from canadiannewsdatapipeline_spark.operators import similarity as sim
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def plan(**kw):
+        df = sim.ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", 0.4, n_tables=8,
+            broadcast_corpus=False, eager_passes=False, **kw
+        )
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # argument knob: 1-byte budget -> K=1, 8 per-pass SHUFFLE_HASH
+    # pipelines (>= 5 joins each) united under the cross-pass dedup
+    tiny = plan(disk_budget_bytes=1)
+    assert "Union" in tiny
+    assert tiny.count("ShuffledHashJoin") >= 40, tiny.count(
+        "ShuffledHashJoin"
+    )
+    # conf knob (read only when the argument is absent)
+    spark.conf.set("spark.cndp.mp.diskBudgetBytes", "1")
+    try:
+        via_conf = plan()
+        assert "Union" in via_conf
+        assert via_conf.count("ShuffledHashJoin") >= 40
+    finally:
+        spark.conf.unset("spark.cndp.mp.diskBudgetBytes")
+    # default budget: this input's estimated stream fits -> the exact
+    # single-pass shuffle shape (one probes-homes join + four corpus
+    # attaches; the Union that remains is the cascade's expand step,
+    # present in every multiprobe plan — the chunked flip shows up as
+    # the 8x multiplication of the per-pass join pipelines)
+    single = plan()
+    assert 5 <= single.count("ShuffledHashJoin") < 15
+
+
+def test_multiprobe_auto_chunking_is_eager_by_default(spark):
+    """When auto-sizing engages (stream estimate exceeds the budget)
+    and the caller set no eager knob, the passes must be EAGER: lazy
+    chunking bounds per-exchange rows but lets every pass's shuffle
+    files accumulate in the one job — the disk budget is only honored
+    with the per-pass materialization barrier (measured sawtooth,
+    SCALE.md §Round-7). Eager passes surface as checkpointed RDD
+    scans with the per-pass lineage gone."""
+    from canadiannewsdatapipeline_spark.operators import similarity as sim
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = sim.ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding", 0.4, n_tables=8,
+        broadcast_corpus=False, disk_budget_bytes=1,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_dedup_cascade_shuffles_keys_not_text(spark):
     # text-dedup cascade: the collapse groups on the md5 token key and
     # the signature agg on rep ids — no Exchange keyed on raw text

@@ -340,6 +340,81 @@ def test_multiprobe_knob_validation(spark, emb):
             ann_lsh_multiprobe_pairs(emb, "vec_id", "embedding", THRESHOLD)
     finally:
         spark.conf.unset("spark.cndp.mp.broadcastMaxInputBytes")
+    # non-integer disk budget conf (read only in the shuffle tier
+    # with no explicit tables_per_pass)
+    spark.conf.set("spark.cndp.mp.diskBudgetBytes", "lots")
+    try:
+        with pytest.raises(ValueError, match="diskBudgetBytes"):
+            ann_lsh_multiprobe_pairs(
+                emb, "vec_id", "embedding", THRESHOLD,
+                broadcast_corpus=False,
+            )
+    finally:
+        spark.conf.unset("spark.cndp.mp.diskBudgetBytes")
+    with pytest.raises(ValueError, match="disk_budget_bytes"):
+        ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD,
+            broadcast_corpus=False, disk_budget_bytes=0,
+        )
+
+
+def test_multiprobe_eager_without_chunking_is_signaled(emb):
+    """r7 advice: eager_passes=True must never be a silent no-op.
+    Three regimes: (a) explicit tables_per_pass >= n_tables resolves
+    to the single-pass plan — named error; (b) broadcast mode with no
+    tables_per_pass has no passes at all — named error; (c) the
+    shuffle tier whose auto-sizer concludes the stream FITS the
+    budget — the requested disk bound already holds, so it warns and
+    stays single-pass rather than punishing the safety-conscious
+    caller."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    with pytest.raises(ValueError, match="eager_passes"):
+        ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, n_tables=8,
+            broadcast_corpus=False, tables_per_pass=8,
+            eager_passes=True,
+        ).collect()
+    with pytest.raises(ValueError, match="eager_passes"):
+        ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, n_tables=8,
+            broadcast_corpus=True, eager_passes=True,
+        )
+    with pytest.warns(RuntimeWarning, match="fits the disk budget"):
+        df = ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, n_tables=8,
+            broadcast_corpus=False, eager_passes=True,
+        )
+    assert df.count() > 0
+
+
+def test_multiprobe_auto_chunked_output_equal(emb):
+    """Auto-sized chunking (tiny disk budget -> eager 1-table passes)
+    is a physical reshaping only: pairs and cosines bit-identical to
+    the single-pass broadcast default."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+
+    args = dict(pool=252, n_bits=12, n_tables=8, probe_radius=1,
+                hamming_max=112)
+    want = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args,
+            broadcast_corpus=False, disk_budget_bytes=1,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
 
 
 def test_ann_pairs_compose_under_set_ops(emb):
