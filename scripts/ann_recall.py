@@ -52,6 +52,12 @@ def ground_truth(sf_dir: str):
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(
+            "usage: ann_recall.py SF_DIR [QUERY ...]",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = sys.argv[1]
     names = sys.argv[2:] or ["sim_ann_lsh_multiprobe"]
     n, truth = ground_truth(sf_dir)

@@ -49,7 +49,25 @@ def main() -> int:
     shuffle_seed = None
     if "--shuffle-seed" in args:
         i = args.index("--shuffle-seed")
-        shuffle_seed = float(args[i + 1])
+        # same guard class as driver_sim --json (r7 advice): a
+        # trailing flag or a non-numeric value gets a usage line,
+        # not an IndexError/ValueError traceback
+        if i + 1 >= len(args):
+            print(
+                "usage: fuzz_testdata.py OUT_DIR [--shuffle-seed S]"
+                "  (--shuffle-seed requires a value in [-1, 1])",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            shuffle_seed = float(args[i + 1])
+        except ValueError:
+            print(
+                f"ERROR: --shuffle-seed must be a float, got "
+                f"{args[i + 1]!r}",
+                file=sys.stderr,
+            )
+            return 2
         del args[i : i + 2]
         # DuckDB setseed() only accepts [-1, 1] and fails with an
         # opaque error mid-COPY otherwise; reject bad seeds up front
