@@ -598,6 +598,10 @@ def _mp_auto_tables_per_pass(
     if est <= disk_budget_bytes:
         return None
     n_passes = min(-(-est // disk_budget_bytes), n_tables)
+    if n_passes <= 1:
+        # n_tables == 1: chunking cannot subdivide the table list, so
+        # single-pass is the only plan regardless of the estimate
+        return None
     return -(-n_tables // n_passes)
 
 
@@ -640,7 +644,9 @@ def _plan_size_bytes(df: DataFrame) -> int:
             "Catalyst size estimate unavailable "
             f"({type(exc).__name__}: {exc}); the multiprobe auto-gate "
             "degrades to shuffle mode (scale-safe but ~2x slower below "
-            "the broadcast gate). Pass broadcast_corpus explicitly to "
+            "the broadcast gate) and the auto-sizer will chunk "
+            "maximally (the huge sentinel exceeds any disk budget). "
+            "Pass broadcast_corpus (and tables_per_pass) explicitly to "
             "silence this.",
             RuntimeWarning,
             stacklevel=3,
@@ -1142,15 +1148,21 @@ def ann_lsh_multiprobe_pairs(
             if eager_passes:
                 import warnings
 
+                est = _mp_candidate_stream_bytes(
+                    input_bytes, dim, n_tables, n_bits, probe_radius
+                )
                 warnings.warn(
-                    "eager_passes=True requested but the estimated "
-                    "candidate stream "
-                    f"({_mp_candidate_stream_bytes(input_bytes, dim, n_tables, n_bits, probe_radius)} B) "
-                    f"fits the disk budget ({disk_budget_bytes} B): "
-                    "the single-pass plan already satisfies the "
-                    "requested disk bound, so no passes are "
-                    "materialized. Pass tables_per_pass=K to force "
-                    "chunking.",
+                    "eager_passes=True requested but the auto-sizer "
+                    "selected the single-pass plan (estimated "
+                    f"candidate stream {est} B vs disk budget "
+                    f"{disk_budget_bytes} B"
+                    + (
+                        "; n_tables=1 cannot be subdivided"
+                        if n_tables == 1 and est > disk_budget_bytes
+                        else " — the stream fits the disk budget"
+                    )
+                    + "), so no passes are materialized. Pass "
+                    "tables_per_pass=K to force chunking.",
                     RuntimeWarning,
                     stacklevel=2,
                 )

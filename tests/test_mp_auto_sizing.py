@@ -85,6 +85,14 @@ def test_huge_budget_never_chunks():
     assert _auto(X30_BYTES, budget=1 << 60) is None
 
 
+def test_single_table_never_chunks():
+    # n_tables=1 cannot be subdivided: even a stream estimate far
+    # past the budget must resolve to single-pass (returning K=1 ==
+    # n_tables would trip the private eager guard with a confusing
+    # error for a caller who merely asked for bounded disk)
+    assert _auto(X30_BYTES, budget=1, n_tables=1) is None
+
+
 def test_monotone_in_input_bytes():
     # more input can only chunk finer (smaller or equal K), and the
     # fit/chunk boundary is crossed exactly once
