@@ -996,6 +996,15 @@ def _ann_lsh_multiprobe_distinct(
         )
         if eager_passes:
             if has_reliable_dir:
+                # Measured cost of the reliable tier at fresh-x30
+                # (SCALE.md §Round-8): 691.1 s vs 526.3 s for
+                # localCheckpoint, same 29.7 GB shuffle peak, ~44 MB
+                # of checkpoint files for the whole run. The textbook
+                # persist-before-checkpoint mitigation for RDD
+                # doCheckpoint recomputation was tried and measured
+                # WORSE here (772.9 s) — the pass outputs are tiny,
+                # so the double walk is not the dominant term; keep
+                # the simple form.
                 part = part.checkpoint(eager=True)
             else:
                 part = part.localCheckpoint(eager=True)
