@@ -111,6 +111,48 @@ def test_monotone_in_input_bytes():
     assert seen_chunking
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        input_bytes=st.integers(min_value=1, max_value=1 << 50),
+        n_tables=st.integers(min_value=1, max_value=4096),
+        n_bits=st.integers(min_value=1, max_value=24),
+        probe_radius=st.integers(min_value=0, max_value=2),
+        dim=st.sampled_from([16, 64, 256]),
+        budget=st.integers(min_value=1, max_value=1 << 45),
+    )
+    def test_auto_k_honors_budget_within_one_table_slice(
+        input_bytes, n_tables, n_bits, probe_radius, dim, budget
+    ):
+        """The safety property the whole mechanism exists for: when
+        the sizer picks K, the per-pass candidate stream (est · K /
+        n_tables) must not exceed the budget by more than one table's
+        slice — the provable bound, since K = ceil(n_tables /
+        n_passes) rounds at table granularity. And K is always a
+        usable value: 1 <= K < n_tables (never 0, never a
+        de-facto single-pass that would defeat the disk bound)."""
+        k = _mp_auto_tables_per_pass(
+            input_bytes, dim, n_tables, n_bits, probe_radius, budget
+        )
+        est = _mp_candidate_stream_bytes(
+            input_bytes, dim, n_tables, n_bits, probe_radius
+        )
+        if k is None:
+            # single-pass is only allowed when the stream fits, or
+            # when chunking cannot subdivide (n_tables == 1)
+            assert est <= budget or n_tables == 1
+        else:
+            assert 1 <= k < n_tables
+            one_table_slice = est / n_tables
+            assert est * k / n_tables <= budget + one_table_slice + 1
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_estimate_scales_quadratically():
     # the stream model is Theta(N^2): 3x the input bytes ~ 9x the
     # estimate (integer floors allow slack)
