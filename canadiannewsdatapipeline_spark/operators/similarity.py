@@ -525,6 +525,26 @@ MP_BROADCAST_MAX_INPUT_BYTES = 128 * 1024 * 1024
 # ``disk_budget_bytes`` argument without editing the library.
 MP_DISK_BUDGET_BYTES = 32 * 1024 * 1024 * 1024
 
+# Sentinel returned by _plan_size_bytes when Catalyst's estimate is
+# unreachable: large enough that the broadcast gate always resolves
+# to the scale-safe shuffle mode, and NAMED so the auto-sizer can
+# recognize "no information" and decline to chunk on it (r8 advice —
+# see _mp_resolve_mode).
+PLAN_SIZE_UNKNOWN = 1 << 62
+
+# Static multiplier on the MODEL estimate (``sizing='model'``): the
+# byte model assumes uniform bucketing, and a clustered corpus — the
+# shape near-dup dedup exists for — concentrates candidates in few
+# buckets, so the true stream can exceed the uniform estimate by the
+# mean-cluster-size factor (measured 19.7x on a 60-cluster warehouse,
+# SCALE.md §Round-9). Raise via the ``skew_factor`` argument or the
+# ``spark.cndp.mp.skewFactor`` conf when the corpus is known-clustered
+# and the exact ``sizing='data'`` count is not wanted; the default
+# stays 1.0 because the data-driven count is the principled fix and a
+# blanket multiplier taxes uniform corpora with the measured ~3x
+# over-chunking wall loss.
+MP_SKEW_FACTOR = 1.0
+
 # Calibration constants for the candidate-stream estimate (all from
 # measured r6/r7 ladder data, SCALE.md §Round-6/7):
 # - bytes per input embedding row in parquet: random float32 vectors
@@ -595,6 +615,17 @@ def _mp_auto_tables_per_pass(
     est = _mp_candidate_stream_bytes(
         input_bytes, dim, n_tables, n_bits, probe_radius
     )
+    return _mp_k_from_estimate(est, n_tables, disk_budget_bytes)
+
+
+def _mp_k_from_estimate(
+    est: int, n_tables: int, disk_budget_bytes: int
+) -> int | None:
+    """The K rule itself, taking an estimate from ANY source (the
+    open-loop byte model, the model x a skew factor, or the exact
+    data-driven candidate count — r9): K = ceil(n_tables /
+    ceil(est / budget)), or ``None`` (single-pass) when the stream
+    fits or chunking cannot subdivide the table list."""
     if est <= disk_budget_bytes:
         return None
     n_passes = min(-(-est // disk_budget_bytes), n_tables)
@@ -603,6 +634,245 @@ def _mp_auto_tables_per_pass(
         # single-pass is the only plan regardless of the estimate
         return None
     return -(-n_tables // n_passes)
+
+
+def _mp_exact_candidate_count(
+    e: DataFrame,
+    pool: int,
+    n_bits: int,
+    n_tables: int,
+    probe_radius: int,
+    dim: int,
+) -> int:
+    """EXACT unscreened candidate count for the multiprobe over the
+    (id, v) frame ``e`` — the data-driven alternative to the uniform-
+    bucketing byte model (r9, ``sizing='data'``).
+
+    The model's N²/2^k term assumes uniform buckets; a CLUSTERED
+    corpus (the shape near-dup dedup exists for) concentrates rows in
+    few buckets and the true candidate volume can exceed the uniform
+    estimate by orders of magnitude (measured: 20x on a 60-cluster
+    warehouse, SCALE.md §Round-9 — enough to blow any budget the
+    model said was safe). This helper counts candidates exactly
+    without materializing any pair: run the signature stage, count
+    rows per (table, bucket), expand each home bucket by the XOR
+    probe masks, and sum home-count x probe-count over matching
+    buckets — a linear job over N rows whose shuffles carry at most
+    L·2^k count rows. ``sum(pc*hc)`` counts ordered (probe, home)
+    row pairs including each row's mask-0 self-match, so unordered
+    candidates = (total − N·L) / 2 — the id_a < id_b filter's
+    exact population.
+
+    Cost disclosure: this RUNS A JOB at operator-construction time
+    (one linear pass — the same deviation eager passes already make,
+    and negligible next to the quadratic work it sizes)."""
+    n_words = pool // _WORD_BITS
+    sig_schema = (
+        "id long, "
+        + ", ".join(f"w{m} long" for m in range(n_words))
+        + ", bk array<long>"
+    )
+    homes = (
+        e.mapInPandas(
+            _mp_signature_gen(pool, n_bits, n_tables, dim), sig_schema
+        )
+        .select(F.posexplode("bk").alias("tbl", "bucket"))
+    )
+    hc = homes.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("hc"))
+    masks = _probe_masks(n_bits, probe_radius)
+    mask_arr = F.expr("array(" + ",".join(str(m) for m in masks) + ")")
+    pc = (
+        hc.select(
+            "tbl",
+            F.explode(mask_arr).alias("mask"),
+            "bucket",
+            F.col("hc").alias("pc"),
+        )
+        .select(
+            "tbl",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+            "pc",
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.sum("pc").alias("pc"))
+    )
+    row = (
+        pc.join(hc, ["tbl", "bucket"])
+        .agg(
+            F.sum(F.col("pc") * F.col("hc")).alias("ordered"),
+            F.sum("hc").alias("selfs"),
+        )
+        .collect()[0]
+    )
+    ordered = row["ordered"] or 0
+    selfs = row["selfs"] or 0
+    return max((ordered - selfs) // 2, 0)
+
+
+def _observed_shuffle_write_bytes(sc) -> int | None:
+    """Total shuffle bytes WRITTEN across the stages the driver's
+    app-status store currently retains, via the same aggregated
+    metrics the Spark UI's stage table shows — works identically on a
+    real cluster (the driver aggregates executor task metrics), which
+    is why the feedback hook reads this and not the local filesystem.
+    ``None`` when the status-store internals are unreachable (the
+    hook then disarms rather than guessing). Deltas of this total
+    bracket the shuffle volume of the jobs run between two calls;
+    note the store evicts old stages past ``spark.ui.retainedStages``
+    (default 1000), so deltas are only trusted while they stay
+    non-negative — the caller checks."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            None,
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        )
+        return sum(
+            stages.apply(i).shuffleWriteBytes()
+            for i in range(stages.size())
+        )
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
+# Last eager-chunked run's measured-vs-modeled sizing feedback (r8
+# verdict #1: the calibrated stream estimate is open-loop — this
+# closes it). Written by _ann_lsh_multiprobe_distinct after each
+# eager chunked run whose estimate was available: per-pass observed
+# shuffle-write bytes vs the estimate's slice, plus run totals. A
+# cluster operator (or a test) reads it to see how far reality
+# drifted from the model that sized the passes.
+LAST_MP_SIZING_REPORT: dict | None = None
+
+# Divergence band for the one-time runtime warning: the model's
+# calibration constants absorb fixed floors and the estimate is
+# deliberately conservative on duplicated corpora, so anything within
+# 4x either way is "the model working as documented"; beyond it the
+# constants have drifted from this workload's physics and the next
+# un-warned run may size K wrong (under-chunk -> disk wall;
+# over-chunk -> the measured ~3x wall loss).
+MP_SIZING_DIVERGENCE_BAND = 4.0
+
+# Below this per-pass volume the divergence warning stays silent
+# (the report still records): every pass pays a fixed shuffle floor —
+# signature-persist partials, bucket-count exchanges, shuffle-file
+# metadata — that the marginal ~70 B/candidate constant deliberately
+# does not model (it was calibrated at tens-of-GB passes where the
+# floor vanishes). Measured: a sf0.001-scale chunked pass shuffles
+# ~0.9 MB against a ~0.1 MB estimate slice — a 8x "divergence" that
+# is all floor, no drift. 64 MiB is safely above any observed floor
+# and 3 orders of magnitude below the passes the budget exists for.
+MP_SIZING_FEEDBACK_MIN_BYTES = 64 * 1024 * 1024
+
+
+class _MpSizingFeedback:
+    """Closes the loop on the candidate-stream estimate (r8 verdict
+    #1): the sizer's constants are calibration, not physics — if the
+    pool/word packing, probe shape, or vector compressibility drift,
+    the model silently sizes K wrong until a job meets the disk wall.
+    This hook makes drift observable: snapshot the driver's
+    aggregated shuffle-write total before the run, re-read it at each
+    eager pass's materialization barrier, and compare the delta
+    against the estimate's slice for that pass. One RuntimeWarning
+    per run past ``MP_SIZING_DIVERGENCE_BAND`` (direction-specific
+    advice; suppressed below ``MP_SIZING_FEEDBACK_MIN_BYTES``, where
+    fixed per-pass floors the marginal constant never modeled
+    dominate), and the full per-pass record lands in
+    ``LAST_MP_SIZING_REPORT`` either way.
+
+    Disarms itself (never raises, never blocks the job) when the
+    status store is unreachable or a delta goes negative (stage
+    eviction past ``spark.ui.retainedStages`` rolled the total back —
+    a stale reading is worse than none)."""
+
+    def __init__(self, sc, est_stream_bytes: int, n_tables: int):
+        self._sc = sc
+        self._est = est_stream_bytes
+        self._n_tables = n_tables
+        self._passes: list[dict] = []
+        self._warned = False
+        self._base = _observed_shuffle_write_bytes(sc)
+
+    def after_pass(self, tables_in_pass: int) -> None:
+        if self._base is None:
+            return
+        now = _observed_shuffle_write_bytes(self._sc)
+        if now is None or now < self._base:
+            self._base = None
+            return
+        observed = now - self._base
+        self._base = now
+        est_slice = self._est * tables_in_pass // self._n_tables
+        ratio = observed / est_slice if est_slice > 0 else float("inf")
+        self._passes.append(
+            {
+                "tables": tables_in_pass,
+                "est_bytes": est_slice,
+                "observed_bytes": observed,
+                "ratio": round(ratio, 3),
+            }
+        )
+        band = MP_SIZING_DIVERGENCE_BAND
+        if self._warned or (1 / band <= ratio <= band):
+            return
+        if max(observed, est_slice) < MP_SIZING_FEEDBACK_MIN_BYTES:
+            # fixed per-pass shuffle floors dominate tiny passes —
+            # a ratio here is not evidence about the marginal
+            # constant (see MP_SIZING_FEEDBACK_MIN_BYTES)
+            return
+        self._warned = True
+        import warnings
+
+        if ratio > band:
+            advice = (
+                "the sizing model UNDERESTIMATED this workload's "
+                "shuffle volume — on a larger corpus the same model "
+                "under-chunks toward the disk wall. Lower "
+                "disk_budget_bytes / spark.cndp.mp.diskBudgetBytes by "
+                "the same factor, set skew_factor / "
+                "spark.cndp.mp.skewFactor, or use sizing='data' (the "
+                "exact, skew-immune count)."
+            )
+        else:
+            advice = (
+                "the sizing model OVERESTIMATED this workload's "
+                "shuffle volume — likely a heavily duplicated corpus "
+                "(the exact-dup cascade shrank the real stream) — so "
+                "these passes over-chunk, a measured ~3x wall loss. "
+                "Raise disk_budget_bytes / "
+                "spark.cndp.mp.diskBudgetBytes, or use sizing='data' "
+                "on the deduplicated input."
+            )
+        warnings.warn(
+            f"multiprobe sizing feedback: a chunked pass shuffled "
+            f"{observed} B vs the estimate's {est_slice} B slice "
+            f"(measured/modeled = {ratio:.2f}, outside the {band}x "
+            f"band): {advice} Per-pass numbers: "
+            "canadiannewsdatapipeline_spark.operators.similarity."
+            "LAST_MP_SIZING_REPORT.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    def finish(self) -> None:
+        if not self._passes:
+            return
+        global LAST_MP_SIZING_REPORT
+        tot_obs = sum(p["observed_bytes"] for p in self._passes)
+        tot_est = sum(p["est_bytes"] for p in self._passes)
+        LAST_MP_SIZING_REPORT = {
+            "est_stream_bytes": self._est,
+            "n_tables": self._n_tables,
+            "passes": self._passes,
+            "observed_total_bytes": tot_obs,
+            "est_total_bytes": tot_est,
+            "ratio_total": round(tot_obs / tot_est, 3) if tot_est else None,
+            "divergence_band": MP_SIZING_DIVERGENCE_BAND,
+            "warned": self._warned,
+        }
 
 
 def _int_conf(spark, key: str) -> int | None:
@@ -628,11 +898,17 @@ def _plan_size_bytes(df: DataFrame) -> int:
     pre-explode estimate through; measured mis-broadcast of a
     41.6M-row side, see ``_ann_lsh_multiprobe_distinct``), which is
     why the gate reads the INPUT relation, never an intermediate.
-    Unknown size degrades to "huge" so the auto mode fails toward the
-    scale-safe shuffle joins — with a one-time warning, because a
-    silently degraded gate is a quiet ~2x perf regression (the
-    measured below-gate mode delta) if the py4j/Catalyst internals
-    this touches ever change shape (r6 advice)."""
+    Unknown size degrades to the ``PLAN_SIZE_UNKNOWN`` sentinel so
+    the auto mode fails toward the scale-safe shuffle joins — with a
+    one-time warning, because a silently degraded gate is a quiet ~2x
+    perf regression (the measured below-gate mode delta) if the
+    py4j/Catalyst internals this touches ever change shape (r6
+    advice). The auto-SIZER, by contrast, DECLINES to act on the
+    sentinel (r8 advice): a no-information estimate would chunk
+    maximally — n_tables eager construction-time jobs on zero
+    evidence — so it resolves to the lazy single-pass plan instead
+    and the caller who wants bounded disk under degraded stats must
+    pass ``tables_per_pass`` explicitly."""
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -644,14 +920,15 @@ def _plan_size_bytes(df: DataFrame) -> int:
             "Catalyst size estimate unavailable "
             f"({type(exc).__name__}: {exc}); the multiprobe auto-gate "
             "degrades to shuffle mode (scale-safe but ~2x slower below "
-            "the broadcast gate) and the auto-sizer will chunk "
-            "maximally (the huge sentinel exceeds any disk budget). "
-            "Pass broadcast_corpus (and tables_per_pass) explicitly to "
+            "the broadcast gate) and the auto-sizer declines to chunk "
+            "(a no-information estimate would run n_tables eager "
+            "construction-time jobs on zero evidence). Pass "
+            "broadcast_corpus (and tables_per_pass) explicitly to "
             "silence this.",
             RuntimeWarning,
             stacklevel=3,
         )
-        return 1 << 62
+        return PLAN_SIZE_UNKNOWN
 
 
 def _mp_signature_gen(pool: int, n_bits: int, n_tables: int, dim: int):
@@ -717,6 +994,7 @@ def _ann_lsh_multiprobe_distinct(
     broadcast_corpus: bool = True,
     tables_per_pass: int | None = None,
     eager_passes: bool = False,
+    est_stream_bytes: int | None = None,
 ) -> DataFrame:
     """Bit-pool multi-probe sign-LSH over ALREADY-DISTINCT vectors.
 
@@ -989,6 +1267,16 @@ def _ann_lsh_multiprobe_distinct(
         (lo, min(lo + tables_per_pass, n_tables))
         for lo in range(0, n_tables, tables_per_pass)
     ]
+    # Runtime sizing feedback (r8 verdict #1): the eager barrier after
+    # each pass is the natural point to read back what the pass
+    # ACTUALLY shuffled and compare it to the estimate that sized the
+    # passes — see _mp_sizing_feedback. Armed only when eager (lazy
+    # chunking has no barrier to measure at) and an estimate exists.
+    feedback = (
+        _MpSizingFeedback(sc, est_stream_bytes, n_tables)
+        if eager_passes and est_stream_bytes
+        else None
+    )
     parts: list[DataFrame] = []
     for lo, hi in chunks:
         part = pass_pairs(
@@ -1013,11 +1301,350 @@ def _ann_lsh_multiprobe_distinct(
             # before the next pass starts writing its own
             _gc.collect()
             sc._jvm.System.gc()
+            if feedback is not None:
+                feedback.after_pass(hi - lo)
         parts.append(part)
+    if feedback is not None:
+        feedback.finish()
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
     return out.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
+
+
+def _mp_resolve_mode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pool: int,
+    n_bits: int,
+    n_tables: int,
+    probe_radius: int,
+    dim: int,
+    broadcast_corpus: bool | None,
+    broadcast_max_input_bytes: int | None,
+    tables_per_pass: int | None,
+    eager_passes: bool | None,
+    disk_budget_bytes: int | None,
+    skew_factor: float | None,
+    sizing: str,
+) -> dict:
+    """THE multiprobe mode-resolution logic — one code path shared by
+    ``ann_lsh_multiprobe_pairs`` (which executes what this decides)
+    and ``mp_mode_report`` (which shows it to an operator before a
+    10-hour run), so the report can never drift from the behavior.
+
+    Walks the r6-r8 ladder: broadcast below the gate → single-pass
+    shuffle while the estimated candidate stream fits the disk
+    budget → auto-sized eager chunked passes past it. Returns a
+    report dict; raises the same named errors the operator raises
+    for contradictory knobs. Advisory signals (r8 advice — no knob
+    the caller paid for is ever silently ignored):
+
+    - ``disk_budget_bytes`` / ``sizing`` / ``skew_factor`` provided
+      but not consulted (explicit ``tables_per_pass``, or the call
+      resolved to broadcast mode where no candidate stream is ever
+      materialized) → ``RuntimeWarning`` naming the unconsulted
+      knobs; the report's ``budget_consulted`` says the same in
+      machine-readable form.
+    - Catalyst stats unreachable (``PLAN_SIZE_UNKNOWN``): the
+      auto-sizer DECLINES to chunk — a no-information estimate would
+      run n_tables eager construction-time jobs on zero evidence —
+      and resolves to the lazy single-pass plan; explicit
+      ``eager_passes=True`` under the sentinel raises instead, since
+      the bounded-disk request cannot be honored without a real
+      estimate (pass ``tables_per_pass`` to size by hand).
+    - ``eager_passes=True`` where the sizer picked single-pass warns
+      with ADVICE THE CALLER CAN FOLLOW: "pass tables_per_pass=K"
+      when the stream simply fits, "increase n_tables" when a
+      1-table list cannot be subdivided."""
+    import warnings
+
+    if tables_per_pass is not None and tables_per_pass < 1:
+        raise ValueError(
+            f"tables_per_pass must be >= 1 (got {tables_per_pass}); "
+            "use None for the single-pass default"
+        )
+    if sizing not in ("model", "data"):
+        raise ValueError(
+            f"sizing must be 'model' or 'data', got {sizing!r}"
+        )
+    explicit_k = tables_per_pass is not None
+    budget_given = disk_budget_bytes is not None
+    sizing_knobs_given = [
+        name
+        for name, given in (
+            ("disk_budget_bytes", budget_given),
+            ("sizing='data'", sizing == "data"),
+            ("skew_factor", skew_factor is not None),
+        )
+        if given
+    ]
+    input_bytes: int | None = None
+    gate: int | None = None
+    if broadcast_corpus is None:
+        gate = broadcast_max_input_bytes
+        if gate is None:
+            gate = _int_conf(
+                emb.sparkSession, "spark.cndp.mp.broadcastMaxInputBytes"
+            )
+            if gate is None:
+                gate = MP_BROADCAST_MAX_INPUT_BYTES
+        input_bytes = _plan_size_bytes(emb)
+        broadcast_corpus = input_bytes <= gate
+    if sizing_knobs_given and (broadcast_corpus or explicit_k):
+        # r8 advice: a caller paying for a sizing knob gets a signal
+        # when the resolution path never consults it
+        why = (
+            f"tables_per_pass={tables_per_pass} is explicit and "
+            "always wins over auto-sizing"
+            if explicit_k
+            else "the call resolved to broadcast mode, where the "
+            "candidate stream is screened in-stage and never "
+            "materialized — there is nothing for a disk budget to "
+            "bound"
+        )
+        warnings.warn(
+            f"{', '.join(sizing_knobs_given)} provided but not "
+            f"consulted: {why}. Pass broadcast_corpus=False and drop "
+            "tables_per_pass to let the auto-sizer use them.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if broadcast_corpus and not explicit_k and eager_passes:
+        raise ValueError(
+            "eager_passes=True with no tables_per_pass in broadcast "
+            "mode: the candidate stream is screened in-stage and "
+            "never materialized, so there are no passes to make "
+            "eager. Pass tables_per_pass=K, or broadcast_corpus="
+            "False to enter the shuffle tier where auto-sizing "
+            "applies."
+        )
+    est: int | None = None
+    est_source: str | None = None
+    skew_used: float | None = None
+    budget_consulted = False
+    unknown_size = False
+    if not broadcast_corpus and not explicit_k:
+        # The auto-sizer (r7 verdict #1): the sizing rule
+        # (SCALE.md §Round-7) as mechanism, so the shuffle tier never
+        # runs a candidate stream into the disk wall by default.
+        if disk_budget_bytes is None:
+            disk_budget_bytes = _int_conf(
+                emb.sparkSession, "spark.cndp.mp.diskBudgetBytes"
+            )
+            if disk_budget_bytes is None:
+                disk_budget_bytes = MP_DISK_BUDGET_BYTES
+        if disk_budget_bytes < 1:
+            raise ValueError(
+                "disk_budget_bytes must be >= 1 "
+                f"(got {disk_budget_bytes})"
+            )
+        if input_bytes is None:
+            input_bytes = _plan_size_bytes(emb)
+        unknown_size = input_bytes >= PLAN_SIZE_UNKNOWN
+        if sizing == "data":
+            if skew_factor is not None:
+                warnings.warn(
+                    "skew_factor is ignored under sizing='data': the "
+                    "exact candidate count already reflects the "
+                    "corpus's bucket skew.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            e = emb.filter(
+                F.col(vec_col).isNotNull()
+                & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+            ).select(
+                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+            )
+            # counted on the RAW input, not the post-cascade
+            # representatives the pipeline actually runs on —
+            # deliberately conservative: exact duplicates share every
+            # bucket, so duplication only inflates this count and the
+            # sizer errs toward chunking (the bounded ~3x wall cost),
+            # never toward the disk wall
+            n_candidates = _mp_exact_candidate_count(
+                e, pool, n_bits, n_tables, probe_radius, dim
+            )
+            est = n_candidates * _MP_CANDIDATE_ROW_BYTES
+            est_source = "data"
+            budget_consulted = True
+        elif unknown_size:
+            # r8 advice: the sentinel estimate carries no information;
+            # chunking on it would run n_tables eager jobs on zero
+            # evidence. Decline — lazy single-pass — and require
+            # explicit knobs for bounded disk under degraded stats.
+            # (_plan_size_bytes already warned about the degradation.)
+            est_source = "unknown"
+            if eager_passes:
+                raise ValueError(
+                    "eager_passes=True but the Catalyst size estimate "
+                    "is unavailable (see the RuntimeWarning from the "
+                    "size probe), so the auto-sizer has no information "
+                    "to pick tables_per_pass with and declines to "
+                    "guess. Pass tables_per_pass=K explicitly to get "
+                    "bounded-disk eager passes under degraded stats."
+                )
+            eager_passes = False
+        else:
+            if skew_factor is None:
+                raw = emb.sparkSession.conf.get(
+                    "spark.cndp.mp.skewFactor", None
+                )
+                if raw is not None:
+                    try:
+                        skew_factor = float(raw)
+                    except ValueError:
+                        raise ValueError(
+                            "spark.cndp.mp.skewFactor must be a float, "
+                            f"got {raw!r}"
+                        ) from None
+                else:
+                    skew_factor = MP_SKEW_FACTOR
+            if not skew_factor > 0:
+                raise ValueError(
+                    f"skew_factor must be > 0 (got {skew_factor})"
+                )
+            est = int(
+                _mp_candidate_stream_bytes(
+                    input_bytes, dim, n_tables, n_bits, probe_radius
+                )
+                * skew_factor
+            )
+            est_source = "model"
+            skew_used = skew_factor
+            budget_consulted = True
+        if est is not None:
+            tables_per_pass = _mp_k_from_estimate(
+                est, n_tables, disk_budget_bytes
+            )
+            if tables_per_pass is None:
+                if eager_passes:
+                    if n_tables == 1 and est > disk_budget_bytes:
+                        detail = (
+                            "; n_tables=1 cannot be subdivided), so no "
+                            "passes are materialized. Increase n_tables "
+                            "so the table list can be chunked."
+                        )
+                    else:
+                        detail = (
+                            " — the stream fits the disk budget), so no "
+                            "passes are materialized: the disk bound "
+                            "you asked for already holds without "
+                            "chunking. Pass tables_per_pass=K to force "
+                            "chunking anyway."
+                        )
+                    warnings.warn(
+                        "eager_passes=True requested but the auto-sizer "
+                        "selected the single-pass plan (estimated "
+                        f"candidate stream {est} B vs disk budget "
+                        f"{disk_budget_bytes} B{detail}",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
+                eager_passes = False
+            elif eager_passes is None:
+                eager_passes = True
+    elif not broadcast_corpus and explicit_k:
+        # explicit K in the shuffle tier: the model estimate is still
+        # computed when the chunked eager path will run, so the
+        # runtime sizing-feedback hook can arm (see
+        # _ann_lsh_multiprobe_distinct) — it is NOT used for sizing
+        if eager_passes and tables_per_pass < n_tables:
+            if input_bytes is None:
+                input_bytes = _plan_size_bytes(emb)
+            unknown_size = input_bytes >= PLAN_SIZE_UNKNOWN
+            if not unknown_size:
+                est = _mp_candidate_stream_bytes(
+                    input_bytes, dim, n_tables, n_bits, probe_radius
+                )
+                est_source = "model"
+    if eager_passes is None:
+        eager_passes = False
+    chunked = tables_per_pass is not None and tables_per_pass < n_tables
+    n_passes = -(-n_tables // tables_per_pass) if chunked else 1
+    if broadcast_corpus:
+        regime = "broadcast"
+        est_pass_bytes = None
+    elif chunked:
+        regime = "chunked-shuffle"
+        est_pass_bytes = (
+            est * tables_per_pass // n_tables if est is not None else None
+        )
+    else:
+        regime = "single-pass-shuffle"
+        est_pass_bytes = est
+    return {
+        "regime": regime,
+        "broadcast_corpus": broadcast_corpus,
+        "input_bytes": None if unknown_size else input_bytes,
+        "input_bytes_unknown": unknown_size,
+        "broadcast_gate_bytes": gate,
+        "est_stream_bytes": est,
+        "est_source": est_source,
+        "skew_factor": skew_used,
+        "disk_budget_bytes": disk_budget_bytes,
+        "budget_consulted": budget_consulted,
+        "tables_per_pass": tables_per_pass,
+        "n_passes": n_passes,
+        "eager_passes": eager_passes,
+        "est_pass_bytes": est_pass_bytes,
+    }
+
+
+def mp_mode_report(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float | None = None,
+    pool: int = 252,
+    n_bits: int = 12,
+    n_tables: int = 160,
+    probe_radius: int = 1,
+    hamming_max: int | None = None,
+    dim: int = 64,
+    broadcast_corpus: bool | None = None,
+    broadcast_max_input_bytes: int | None = None,
+    tables_per_pass: int | None = None,
+    eager_passes: bool | None = None,
+    disk_budget_bytes: int | None = None,
+    skew_factor: float | None = None,
+    sizing: str = "model",
+) -> dict:
+    """What WOULD ``ann_lsh_multiprobe_pairs`` do with these knobs —
+    without running the job (r8 verdict #6: the auto decision was
+    only visible in ladder notes; a cluster operator should be able
+    to audit the plan before a 10-hour run).
+
+    Returns the resolution dict: ``regime`` ('broadcast' /
+    'single-pass-shuffle' / 'chunked-shuffle'), ``input_bytes`` (the
+    Catalyst estimate the gate read, None if unreachable),
+    ``broadcast_gate_bytes``, ``est_stream_bytes`` + ``est_source``
+    ('model' / 'data' / 'unknown'), ``skew_factor`` (as applied),
+    ``disk_budget_bytes`` + ``budget_consulted``, resolved
+    ``tables_per_pass`` / ``n_passes`` / ``eager_passes``, and
+    ``est_pass_bytes`` (the per-pass stream the disk budget bounds).
+
+    This calls the SAME ``_mp_resolve_mode`` the operator calls — it
+    cannot drift — including its validation: a knob combination the
+    operator would reject raises the identical named error here, and
+    the advisory RuntimeWarnings (unconsulted knobs, degraded stats)
+    fire identically. Accepts (and ignores) ``threshold`` /
+    ``hamming_max`` so a preset dict splats straight in:
+    ``mp_mode_report(emb, "vec_id", "embedding",
+    **PROD_NEAR_DUP_MP)``.
+
+    Job cost: zero — EXCEPT under ``sizing='data'``, which runs the
+    one linear candidate-counting job the operator itself would run
+    (``_mp_exact_candidate_count``); that is the knob's documented
+    price in both places."""
+    del threshold, hamming_max  # resolution is threshold-independent
+    return _mp_resolve_mode(
+        emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
+        broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,
+        eager_passes, disk_budget_bytes, skew_factor, sizing,
+    )
 
 
 def ann_lsh_multiprobe_pairs(
@@ -1036,6 +1663,8 @@ def ann_lsh_multiprobe_pairs(
     tables_per_pass: int | None = None,
     eager_passes: bool | None = None,
     disk_budget_bytes: int | None = None,
+    skew_factor: float | None = None,
+    sizing: str = "model",
 ) -> DataFrame:
     """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
     sign-LSH with a packed-signature Hamming prefilter, wrapped in the
@@ -1107,79 +1736,39 @@ def ann_lsh_multiprobe_pairs(
     explicit booleans force the form. ``eager_passes=True`` without
     effective chunking raises (or, when auto-sizing itself concluded
     the stream fits the budget, warns and stays lazy — the requested
-    disk bound already holds without passes)."""
-    if tables_per_pass is not None and tables_per_pass < 1:
-        raise ValueError(
-            f"tables_per_pass must be >= 1 (got {tables_per_pass}); "
-            "use None for the single-pass default"
-        )
-    input_bytes: int | None = None
-    if broadcast_corpus is None:
-        if broadcast_max_input_bytes is None:
-            broadcast_max_input_bytes = _int_conf(
-                emb.sparkSession, "spark.cndp.mp.broadcastMaxInputBytes"
-            )
-            if broadcast_max_input_bytes is None:
-                broadcast_max_input_bytes = MP_BROADCAST_MAX_INPUT_BYTES
-        input_bytes = _plan_size_bytes(emb)
-        broadcast_corpus = input_bytes <= broadcast_max_input_bytes
-    if broadcast_corpus and tables_per_pass is None and eager_passes:
-        raise ValueError(
-            "eager_passes=True with no tables_per_pass in broadcast "
-            "mode: the candidate stream is screened in-stage and "
-            "never materialized, so there are no passes to make "
-            "eager. Pass tables_per_pass=K, or broadcast_corpus="
-            "False to enter the shuffle tier where auto-sizing "
-            "applies."
-        )
-    if not broadcast_corpus and tables_per_pass is None:
-        # Auto-size the chunked pass mode: the sizing rule
-        # (SCALE.md §Round-7) as mechanism, so the shuffle tier never
-        # runs a candidate stream into the disk wall by default.
-        if disk_budget_bytes is None:
-            disk_budget_bytes = _int_conf(
-                emb.sparkSession, "spark.cndp.mp.diskBudgetBytes"
-            )
-            if disk_budget_bytes is None:
-                disk_budget_bytes = MP_DISK_BUDGET_BYTES
-        if disk_budget_bytes < 1:
-            raise ValueError(
-                "disk_budget_bytes must be >= 1 "
-                f"(got {disk_budget_bytes})"
-            )
-        if input_bytes is None:
-            input_bytes = _plan_size_bytes(emb)
-        tables_per_pass = _mp_auto_tables_per_pass(
-            input_bytes, dim, n_tables, n_bits, probe_radius,
-            disk_budget_bytes,
-        )
-        if tables_per_pass is None:
-            if eager_passes:
-                import warnings
+    disk bound already holds without passes).
 
-                est = _mp_candidate_stream_bytes(
-                    input_bytes, dim, n_tables, n_bits, probe_radius
-                )
-                warnings.warn(
-                    "eager_passes=True requested but the auto-sizer "
-                    "selected the single-pass plan (estimated "
-                    f"candidate stream {est} B vs disk budget "
-                    f"{disk_budget_bytes} B"
-                    + (
-                        "; n_tables=1 cannot be subdivided"
-                        if n_tables == 1 and est > disk_budget_bytes
-                        else " — the stream fits the disk budget"
-                    )
-                    + "), so no passes are materialized. Pass "
-                    "tables_per_pass=K to force chunking.",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-            eager_passes = False
-        elif eager_passes is None:
-            eager_passes = True
-    if eager_passes is None:
-        eager_passes = False
+    **Skew (r8 verdict #2)**: the byte model assumes UNIFORM
+    bucketing; a clustered corpus — the shape near-dup dedup exists
+    for — concentrates candidates in few buckets and the true stream
+    can exceed the uniform estimate by the mean-cluster-size factor
+    (measured 19.7x on a 60-cluster warehouse — enough to blow
+    through a budget the model called safe, SCALE.md §Round-9). Two
+    defenses: ``skew_factor`` (arg / ``spark.cndp.mp.skewFactor``
+    conf, default 1.0) statically multiplies the model estimate;
+    ``sizing='data'`` replaces the model with the EXACT candidate
+    count — one linear counting job over the signatures at
+    construction time (``_mp_exact_candidate_count``; the same
+    disclosed eagerness class as ``eager_passes``), immune to skew by
+    construction and conservative under exact duplication (it counts
+    the raw input, the cascade only shrinks the real stream).
+
+    **Runtime sizing feedback (r8 verdict #1)**: whichever estimate
+    sized the passes is open-loop calibration, not physics — so when
+    eager chunked passes run, each pass's actual shuffle-write bytes
+    (driver-aggregated task metrics, cluster-valid) are compared
+    against the estimate's slice; on >4x divergence either way a
+    one-time ``RuntimeWarning`` reports the measured-vs-modeled
+    ratio and the knob to turn (``disk_budget_bytes`` /
+    ``skew_factor`` / ``sizing='data'``), and every run writes the
+    per-pass numbers to the module-level ``LAST_MP_SIZING_REPORT``
+    for post-hoc audit. Use ``mp_mode_report`` to see the whole
+    resolution without running anything."""
+    res = _mp_resolve_mode(
+        emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
+        broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,
+        eager_passes, disk_budget_bytes, skew_factor, sizing,
+    )
     return _exact_dup_cascade(
         emb,
         id_col,
@@ -1196,9 +1785,10 @@ def ann_lsh_multiprobe_pairs(
             probe_radius,
             hamming_max,
             dim,
-            broadcast_corpus=broadcast_corpus,
-            tables_per_pass=tables_per_pass,
-            eager_passes=eager_passes,
+            broadcast_corpus=res["broadcast_corpus"],
+            tables_per_pass=res["tables_per_pass"],
+            eager_passes=res["eager_passes"],
+            est_stream_bytes=res["est_stream_bytes"],
         ),
     )
 
