@@ -22,11 +22,40 @@ Replication scheme (copy i of K):
   diluting it.
 
 Usage: python scripts/scale_ladder.py [K] [out_dir] [--fresh]
+[--clustered] [--clean-session] [--disk-trace]
 (default K=10 -> ~sf1; prints one JSON line per rung plus a summary;
 SPARK_GRAFT_KEEP_LADDER=1 keeps the generated warehouses for reruns;
 SPARK_GRAFT_LADDER_QUERIES=a,b filters rows — EXTRA_QUERIES names are
 selectable too; SPARK_GRAFT_LADDER_TRIALS=1 -> single-pass, no
 warmup, for tens-of-minutes rows)
+
+``--clean-session`` (round-9 addition, r8 verdict #5): time each rung
+in its OWN subprocess — fresh JVM, fresh Spark session, fresh scratch
+dirs. The r8 round caught by hand that in-ladder peak-disk traces are
+contaminated by prior rungs' shuffle residue sharing the session (the
+x30 auto rung read 59 GB apparent vs 29.7 GB true); this flag makes
+the clean-session-per-rung methodology the tool's job instead of a
+SCALE.md footnote. Mandatory for any peak-disk claim; also gives
+cold-session walls. Warehouses are still built once by the parent.
+
+``--disk-trace``: sample the Spark scratch dirs (/tmp/spark-*,
+/tmp/blockmgr-*, or $SPARK_LOCAL_DIRS) every 2 s while a rung runs
+and report the peak as ``peak_disk_bytes`` per rung — the r8
+methodology (disk sampled over the same globs) as a flag. Combine
+with --clean-session or the peak is not attributable to the rung.
+
+``--clustered`` (round-9 addition, r8 verdict #2): like --fresh but
+embeddings are CLUSTERED — every vector is a shared md5-derived
+cluster center plus a tiny per-row md5 noise (distinct, so the
+exact-dup cascade collapses nothing; near-identical, so cluster
+members share LSH buckets). This is the shape that breaks the
+auto-sizer's uniform-bucketing byte model: candidates concentrate in
+NC = $SPARK_GRAFT_LADDER_CLUSTERS (default 16) buckets per table and
+the true candidate stream exceeds the uniform estimate by
+~2^k/(masks·NC). Documents get --fresh-style text. ALL copies
+(including i=0) are clustered so no uniform originals dilute the
+measurement. Knobs: SPARK_GRAFT_LADDER_CLUSTERS,
+SPARK_GRAFT_LADDER_CLUSTER_EPS (default 0.01).
 
 ``--fresh`` mode (round-4 addition): the twin-replication rungs are
 exactly the shape the exact-dedup cascade absorbs (every copy is an
@@ -278,10 +307,53 @@ def _mp_t04_shuffle_auto(spark, sf_dir):
     )
 
 
+def _mp_t04_auto_tight_budget(spark, sf_dir, sizing: str):
+    """r8 verdict #2 (skew measurement): the t04 config in the
+    shuffle tier, zero knobs except a TIGHT disk budget
+    ($SPARK_GRAFT_MP_BUDGET bytes, default 2 GiB) and the sizing
+    source. On a --clustered warehouse the uniform byte model
+    ('model') underestimates the candidate stream by ~2^k/(masks·NC)
+    and declares single-pass "safe" — the run then blows through the
+    budget (the violation under measurement). sizing='data' counts
+    the stream exactly from the bucket histogram, chunks, and the
+    budget holds. Run both under --clean-session --disk-trace and
+    compare peak_disk_bytes against the budget."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+    )
+    from canadiannewsdatapipeline_spark.queries.llm import (
+        _COS_THRESHOLD,
+        _MP_BITS,
+        _MP_HAMMING,
+        _MP_POOL,
+        _MP_RADIUS,
+        _MP_TABLES,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_MP_BUDGET", str(2 * 1024**3))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_COS_THRESHOLD, pool=_MP_POOL, n_bits=_MP_BITS,
+        n_tables=_MP_TABLES, probe_radius=_MP_RADIUS,
+        hamming_max=_MP_HAMMING, broadcast_corpus=False,
+        disk_budget_bytes=budget, sizing=sizing,
+    )
+
+
 EXTRA_QUERIES = {
     "ann_lsh_prod_thresh": _ann_lsh_prod,
     "ann_lsh_prod_mp": _ann_lsh_prod_mp,
     "ann_mp_t04_count": _ann_mp_t04_count,
+    "ann_mp_t04_auto_tight_budget": (
+        lambda s, d: _mp_t04_auto_tight_budget(s, d, "model")
+    ),
+    "ann_mp_t04_auto_tight_budget_data": (
+        lambda s, d: _mp_t04_auto_tight_budget(s, d, "data")
+    ),
     # mode-comparison rows: select via SPARK_GRAFT_LADDER_QUERIES
     # (not in any default subset — they exist to measure the
     # broadcast-vs-shuffle delta, not to run every ladder)
@@ -358,8 +430,38 @@ _FRESH_VEC = """
 _FRESH_COLS = {"text": _FRESH_TEXT, "embedding": _FRESH_VEC}
 
 
+def _cluster_vec_sql() -> str:
+    """--clustered embedding generator: shared md5 cluster center
+    (key: source vec_id % NC — spans replication copies, so cluster
+    size = K·2000/NC) plus eps-scaled md5 per-row noise. Distinct
+    floats w.h.p. (the cascade collapses nothing) but near-identical
+    directions (within-cluster cosine ≈ 1 − O(eps²)), so cluster
+    members share their n_bits LSH bucket in almost every table —
+    the bucket-concentration shape the uniform byte model cannot
+    see. No i=0 passthrough: uniform originals would dilute the
+    skew under measurement."""
+    nc = int(os.environ.get("SPARK_GRAFT_LADDER_CLUSTERS", "16"))
+    eps = float(os.environ.get("SPARK_GRAFT_LADDER_CLUSTER_EPS", "0.01"))
+    unit = (
+        "(CAST(concat('0x', substr(md5({key}), 1, 6)) AS BIGINT)"
+        " / 8388607.5 - 1.0)"
+    )
+    center = unit.format(
+        key=f"'c:' || CAST(vec_id % {nc} AS VARCHAR) || ':' "
+        "|| CAST(j AS VARCHAR)"
+    )
+    noise = unit.format(
+        key="'n:' || CAST(vec_id AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    return (
+        f"\n    [CAST({center} + {eps} * {noise} AS FLOAT)"
+        "\n     FOR j IN generate_series(1, 64)] AS embedding"
+    )
+
+
 def build_rung(
-    con: duckdb.DuckDBPyConnection, k: int, out: str, fresh: bool = False
+    con: duckdb.DuckDBPyConnection, k: int, out: str, mode: str = "twin"
 ) -> None:
     os.makedirs(out, exist_ok=True)
     tables = [
@@ -370,7 +472,9 @@ def build_rung(
     for t in tables:
         src = f"{SRC}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        if t in DIMS or k == 1:
+        # clustered mode regenerates embeddings even at k == 1 (the
+        # originals are uniform — exactly what the mode must replace)
+        if t in DIMS or (k == 1 and not (mode == "clustered" and t == "embeddings")):
             # fixed dims copy through (still rewritten so the row-group
             # layout is uniform across the rung)
             con.execute(
@@ -382,11 +486,15 @@ def build_rung(
             r[0]
             for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         ]
-        fresh_here = fresh and t in ("documents", "embeddings")
+        if mode == "clustered":
+            gen_cols = {"text": _FRESH_TEXT, "embedding": _cluster_vec_sql()}
+        else:
+            gen_cols = _FRESH_COLS
+        content_here = mode != "twin" and t in ("documents", "embeddings")
         proj = ", ".join(
             f"{c} + i * {STRIDES[c]} AS {c}"
             if c in STRIDES
-            else (_FRESH_COLS[c] if fresh_here and c in _FRESH_COLS else c)
+            else (gen_cols[c] if content_here and c in gen_cols else c)
             for c in cols
         )
         con.execute(
@@ -400,7 +508,7 @@ def build_rung(
     # label (fresh rows timed on twin data would measure the cascade's
     # collapse, not fresh scaling)
     with open(os.path.join(out, "LADDER_MODE"), "w") as fh:
-        fh.write("fresh" if fresh else "twin")
+        fh.write(mode)
 
 
 # the cascade-sensitive subset --fresh measures (relational rows are
@@ -419,17 +527,105 @@ FRESH_SUBSET = [
 ]
 
 
+def _scratch_usage_bytes() -> int:
+    """Bytes currently held by Spark scratch dirs (shuffle files,
+    block-manager spill, localCheckpoint blocks): /tmp/spark-* +
+    /tmp/blockmgr-* (or $SPARK_LOCAL_DIRS roots) — the same globs the
+    r8 by-hand methodology sampled. Files vanish mid-walk during GC;
+    errors are expected and skipped."""
+    import glob
+
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    roots = env.split(",") if env else ["/tmp"]
+    total = 0
+    for root in roots:
+        for pat in ("spark-*", "blockmgr-*"):
+            for d in glob.glob(os.path.join(root, pat)):
+                for dirpath, _dirs, files in os.walk(d, onerror=lambda e: None):
+                    for f in files:
+                        try:
+                            total += os.stat(os.path.join(dirpath, f)).st_size
+                        except OSError:
+                            pass
+    return total
+
+
+class _DiskTrace:
+    """2-second peak sampler over the Spark scratch dirs for one rung.
+    Reports the peak ABOVE the baseline at start — dead sessions'
+    leftover dirs under /tmp must not inflate the rung's claim. Only
+    attributable when the rung runs in its own session
+    (--clean-session): a sibling rung's residue in the same session
+    contaminated the r8 in-ladder trace by 2x."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.baseline = _scratch_usage_bytes()
+        self.peak = self.baseline
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(2.0):
+            u = _scratch_usage_bytes()
+            if u > self.peak:
+                self.peak = u
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=10)
+        u = _scratch_usage_bytes()
+        if u > self.peak:
+            self.peak = u
+        return {
+            "peak_disk_bytes": max(self.peak - self.baseline, 0),
+            "baseline_disk_bytes": self.baseline,
+        }
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--fresh"]
-    fresh = "--fresh" in sys.argv[1:]
+    argv = sys.argv[1:]
+    fresh = "--fresh" in argv
+    clustered = "--clustered" in argv
+    clean_session = "--clean-session" in argv
+    disk_trace = "--disk-trace" in argv
+    if fresh and clustered:
+        print("ERROR: --fresh and --clustered are exclusive", file=sys.stderr)
+        return 2
+    rung_only: str | None = None
+    if "--rung-only" in argv:
+        idx = argv.index("--rung-only")
+        if idx + 1 >= len(argv):
+            print("ERROR: --rung-only needs a rung label (e.g. x3)", file=sys.stderr)
+            return 2
+        rung_only = argv[idx + 1]
+        argv = argv[:idx] + argv[idx + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
+    mode = "clustered" if clustered else ("fresh" if fresh else "twin")
     k_top = int(args[0]) if len(args) > 0 else 10
     base = (
         args[1]
         if len(args) > 1
-        else ("/tmp/scale_ladder_fresh" if fresh else "/tmp/scale_ladder")
+        else {
+            "twin": "/tmp/scale_ladder",
+            "fresh": "/tmp/scale_ladder_fresh",
+            "clustered": "/tmp/scale_ladder_clustered",
+        }[mode]
     )
     rungs = sorted({1, max(2, k_top // 3), k_top})
-    subset = FRESH_SUBSET if fresh else HEADLINE_SUBSET
+    if rung_only is not None:
+        want_k = int(rung_only.removeprefix("x"))
+        if want_k not in rungs:
+            print(
+                f"ERROR: --rung-only {rung_only} not in this ladder's "
+                f"rungs {['x%d' % k for k in rungs]}",
+                file=sys.stderr,
+            )
+            return 2
+        rungs = [want_k]
+    subset = FRESH_SUBSET if mode != "twin" else HEADLINE_SUBSET
     # optional row filter, e.g. to extend a regime's rungs without
     # re-timing rows whose scaling law is already measured (the
     # threshold-0.4 LSH row is ~N^2/2^k on fresh data BY DESIGN —
@@ -447,7 +643,7 @@ def main() -> int:
         if unknown:
             print(
                 f"WARNING: SPARK_GRAFT_LADDER_QUERIES names not in the "
-                f"{'fresh' if fresh else 'twin'} subset nor EXTRA_QUERIES, "
+                f"{mode} subset nor EXTRA_QUERIES, "
                 f"dropped: {unknown}",
                 file=sys.stderr,
             )
@@ -456,18 +652,26 @@ def main() -> int:
             print("ERROR: query filter left nothing to time", file=sys.stderr)
             return 2
 
-    mode = "fresh" if fresh else "twin"
     con = duckdb.connect()
     for k in rungs:
         out = f"{base}/x{k}"
         marker = os.path.join(out, "LADDER_MODE")
         if os.path.isdir(out) and not os.path.isfile(marker):
+            if rung_only is not None:
+                # a child never rebuilds: the parent owns the builds,
+                # and a partial warehouse here means the parent's
+                # build was interrupted — fail loudly
+                print(f"ERROR: {out} has no LADDER_MODE marker", file=sys.stderr)
+                return 2
             # no completion sentinel => an interrupted build left a
             # partial warehouse; rebuild rather than time bad data
             print(f"NOTE: {out} exists without LADDER_MODE — rebuilding", file=sys.stderr)
             shutil.rmtree(out)
         if not os.path.isdir(out):
-            build_rung(con, k, out, fresh)
+            if rung_only is not None:
+                print(f"ERROR: {out} missing (parent builds, children time)", file=sys.stderr)
+                return 2
+            build_rung(con, k, out, mode)
         else:
             stamped = open(marker).read().strip()
             if stamped != mode:
@@ -482,6 +686,62 @@ def main() -> int:
     # first timed scans inflated x33 q1 4x vs the (settled) x100 rung
     os.sync()
 
+    if clean_session and rung_only is None:
+        # r8 verdict #5: one subprocess per rung — fresh JVM, fresh
+        # Spark session, fresh scratch dirs — so peak-disk traces and
+        # cold walls are attributable to THE rung, not to whatever
+        # shuffle residue earlier rungs left in a shared session
+        # (measured contamination: 59 GB apparent vs 29.7 GB true).
+        import subprocess
+
+        mode_flags = {"fresh": ["--fresh"], "clustered": ["--clustered"], "twin": []}[mode]
+        child_env = dict(os.environ)
+        child_env["SPARK_GRAFT_KEEP_LADDER"] = "1"  # parent owns deletion
+        summary = {}
+        for k in rungs:
+            cmd = (
+                [sys.executable, os.path.abspath(__file__), str(k_top), base]
+                + mode_flags
+                + (["--disk-trace"] if disk_trace else [])
+                + ["--rung-only", f"x{k}"]
+            )
+            proc = subprocess.run(
+                cmd, env=child_env, capture_output=True, text=True
+            )
+            sys.stderr.write(proc.stderr)
+            sys.stdout.write(proc.stdout)
+            sys.stdout.flush()
+            if proc.returncode != 0:
+                print(f"ERROR: rung x{k} child failed ({proc.returncode})", file=sys.stderr)
+                return proc.returncode or 1
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            summary[f"x{k}"] = rec
+        base_total = summary[f"x{rungs[0]}"]["total_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": f"scale_ladder_{mode}_clean_session",
+                    "rungs": {
+                        r: {
+                            "total_sec": s["total_sec"],
+                            "wall_vs_x1": round(s["total_sec"] / base_total, 2),
+                            **(
+                                {"peak_disk_bytes": s["peak_disk_bytes"]}
+                                if "peak_disk_bytes" in s
+                                else {}
+                            ),
+                        }
+                        for r, s in summary.items()
+                    },
+                    "data_vs_x1": {f"x{k}": k for k in rungs},
+                }
+            )
+        )
+        if os.environ.get("SPARK_GRAFT_KEEP_LADDER") != "1":
+            shutil.rmtree(base, ignore_errors=True)
+        return 0
+
+    from canadiannewsdatapipeline_spark.operators import similarity as _sim
     from canadiannewsdatapipeline_spark.queries import QUERIES
     from canadiannewsdatapipeline_spark.session import get_spark
 
@@ -490,6 +750,8 @@ def main() -> int:
     for k in rungs:
         out = f"{base}/x{k}"
         timings = {}
+        tracer = _DiskTrace() if disk_trace else None
+        _sim.LAST_MP_SIZING_REPORT = None
         # SPARK_GRAFT_LADDER_TRIALS=1 is single-pass mode for rows in
         # the tens-of-minutes class (fresh-x100 threshold-0.4: the
         # Theta(N^2) output alone makes any trial ~40 min): no untimed
@@ -519,27 +781,36 @@ def main() -> int:
                 trials.append(time.perf_counter() - t0)
             timings[name] = round(min(trials), 3)
         total = round(sum(timings.values()), 3)
-        summary[f"x{k}"] = {"total_sec": total, "queries": timings}
-        print(json.dumps({"rung": f"x{k}", "total_sec": total, "queries": timings}))
+        rec = {"rung": f"x{k}", "total_sec": total, "queries": timings}
+        if tracer is not None:
+            rec.update(tracer.stop())
+        if _sim.LAST_MP_SIZING_REPORT is not None:
+            # runtime sizing feedback from the rung's LAST eager
+            # chunked multiprobe run (attributable when the rung is
+            # filtered to one such row)
+            rec["mp_sizing_report"] = _sim.LAST_MP_SIZING_REPORT
+        summary[f"x{k}"] = rec
+        print(json.dumps(rec))
 
-    base_total = summary[f"x{rungs[0]}"]["total_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "scale_ladder_fresh" if fresh else "scale_ladder",
-                "rungs": {
-                    r: {
-                        "total_sec": s["total_sec"],
-                        "wall_vs_x1": round(s["total_sec"] / base_total, 2),
-                    }
-                    for r, s in summary.items()
-                },
-                "data_vs_x1": {f"x{k}": k for k in rungs},
-            }
+    if rung_only is None:
+        base_total = summary[f"x{rungs[0]}"]["total_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": f"scale_ladder_{mode}" if mode != "twin" else "scale_ladder",
+                    "rungs": {
+                        r: {
+                            "total_sec": s["total_sec"],
+                            "wall_vs_x1": round(s["total_sec"] / base_total, 2),
+                        }
+                        for r, s in summary.items()
+                    },
+                    "data_vs_x1": {f"x{k}": k for k in rungs},
+                }
+            )
         )
-    )
     spark.stop()
-    if os.environ.get("SPARK_GRAFT_KEEP_LADDER") != "1":
+    if rung_only is None and os.environ.get("SPARK_GRAFT_KEEP_LADDER") != "1":
         shutil.rmtree(base, ignore_errors=True)
     return 0
 

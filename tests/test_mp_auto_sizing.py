@@ -153,6 +153,25 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
 
+def test_clustered_exact_counts_reproduce_measured_k_r9():
+    """r9 skew study (SCALE_LADDER_SKEW_r09.json): on the clustered
+    warehouses the EXACT candidate counts (sizing='data') resolved to
+    the K values whose measured runs held the 2 GiB budget — x1
+    single-pass (truth fits), x2 three 54-table passes (peak 1.74 GB),
+    x3 seven 23-table passes (peak 2.02 GB). The uniform model said
+    single-pass at every rung and its runs violated the budget 1.56x /
+    3.05x at x2/x3 — the datapoints that refuted the r8 'skew is
+    conservative' claim."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _mp_k_from_estimate,
+    )
+
+    budget = 2 * 1024**3
+    assert _mp_k_from_estimate(1_480_267_670, 160, budget) is None
+    assert _mp_k_from_estimate(5_943_649_180, 160, budget) == 54
+    assert _mp_k_from_estimate(13_391_046_060, 160, budget) == 23
+
+
 def test_estimate_scales_quadratically():
     # the stream model is Theta(N^2): 3x the input bytes ~ 9x the
     # estimate (integer floors allow slack)
