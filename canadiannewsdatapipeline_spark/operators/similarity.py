@@ -535,9 +535,11 @@ PLAN_SIZE_UNKNOWN = 1 << 62
 # Static multiplier on the MODEL estimate (``sizing='model'``): the
 # byte model assumes uniform bucketing, and a clustered corpus — the
 # shape near-dup dedup exists for — concentrates candidates in few
-# buckets, so the true stream can exceed the uniform estimate by the
-# mean-cluster-size factor (measured 19.7x on a 60-cluster warehouse,
-# SCALE.md §Round-9). Raise via the ``skew_factor`` argument or the
+# buckets, so the true stream exceeds the uniform estimate by
+# ~2^k/(masks·NC), a property of the cluster count NC, not of N
+# (measured 11.2x at every rung of a 16-cluster warehouse,
+# SCALE_LADDER_SKEW_r09.json / SCALE.md §Round-9 — enough to blow a
+# budget the model called safe). Raise via the ``skew_factor`` argument or the
 # ``spark.cndp.mp.skewFactor`` conf when the corpus is known-clustered
 # and the exact ``sizing='data'`` count is not wanted; the default
 # stays 1.0 because the data-driven count is the principled fix and a
@@ -583,12 +585,20 @@ def _mp_candidate_stream_bytes(
     Checked against the measured r6/r7 datapoints in Spark-free unit
     tests (tests/test_mp_auto_sizing.py): fresh-x10 (~1.9e8
     candidates, ~13 GB — single-pass fits) vs fresh-x30 (~1.7e9,
-    ~118 GB — the rung that died at the disk wall). Deliberately
-    conservative for skewed or heavily-duplicated corpora: skew only
-    RAISES the true N²/2^k term, and the exact-dup cascade shrinks N
-    before the quadratic stages, so the estimate errs toward
-    chunking sooner — a bounded ~3x wall cost, never a died-at-70-GB
-    cost."""
+    ~118 GB — the rung that died at the disk wall).
+
+    VALIDITY BOUNDARY (measured both ways, r9): on the UNIFORM
+    warehouses the model was calibrated on, runtime feedback read
+    measured/modeled = 0.99 at x30 (SCALE_LADDER_X30_CLEAN_r09.json).
+    On a CLUSTERED corpus the uniform-bucketing assumption breaks in
+    the dangerous direction: candidates concentrate in few buckets,
+    the TRUE stream exceeds this estimate by ~2^k/(masks·NC)
+    (measured 11.2x on a 16-cluster warehouse — the model-sized run
+    blew a 2 GiB budget 3.05x while declaring single-pass safe,
+    SCALE_LADDER_SKEW_r09.json), so the model UNDER-estimates and
+    errs toward the disk wall, not away from it. For known-clustered
+    corpora use ``sizing='data'`` (exact count, skew-immune, holds
+    the bound at every measured rung) or ``skew_factor``."""
     n_rows = max(input_bytes // _MP_EMB_ROW_BYTES(dim), 1)
     n_masks = len(_probe_masks(n_bits, probe_radius))
     est_pairs = (n_tables * n_masks * n_rows * n_rows) >> n_bits
@@ -636,6 +646,27 @@ def _mp_k_from_estimate(
     return -(-n_tables // n_passes)
 
 
+def _mp_model_worst_case_bytes(model_est_bytes: int, n_bits: int) -> int:
+    """PROVABLE upper bound on the true candidate stream, as a
+    multiple of the uniform-bucketing model estimate — the routing
+    test ``sizing='auto'`` uses to decide whether the zero-job model
+    path is safe under ANY bucket distribution (r9).
+
+    Derivation: per table, the ordered (probe, home) candidate rows
+    are sum_b pc(b)·hc(b) where pc counts probe landings and hc home
+    rows. sum_b pc(b) = N·masks (every row probes ``masks`` buckets)
+    and hc(b) ≤ N, so the sum is ≤ masks·N² — i.e. 2^k times the
+    model's masks·N²/2^k. Unordered candidates are half that. So
+    true_stream ≤ model_est · 2^(n_bits-1), with equality only under
+    total concentration (every probe landing in a full bucket). The
+    measured clustered warehouse sat at 11.2x — far inside this
+    bound, which is exactly why the bound is only useful as a SAFETY
+    proof (worst ≤ budget ⇒ no distribution can violate), never as a
+    sizing estimate (chunking by it would over-chunk uniform corpora
+    ~2000x)."""
+    return model_est_bytes << max(n_bits - 1, 0)
+
+
 def _mp_exact_candidate_count(
     e: DataFrame,
     pool: int,
@@ -651,7 +682,7 @@ def _mp_exact_candidate_count(
     The model's N²/2^k term assumes uniform buckets; a CLUSTERED
     corpus (the shape near-dup dedup exists for) concentrates rows in
     few buckets and the true candidate volume can exceed the uniform
-    estimate by orders of magnitude (measured: 20x on a 60-cluster
+    estimate by ~2^k/(masks·NC) (measured: 11.2x on a 16-cluster
     warehouse, SCALE.md §Round-9 — enough to blow any budget the
     model said was safe). This helper counts candidates exactly
     without materializing any pair: run the signature stage, count
@@ -1336,8 +1367,19 @@ def _mp_resolve_mode(
 
     Walks the r6-r8 ladder: broadcast below the gate → single-pass
     shuffle while the estimated candidate stream fits the disk
-    budget → auto-sized eager chunked passes past it. Returns a
-    report dict; raises the same named errors the operator raises
+    budget → auto-sized eager chunked passes past it. The estimate's
+    SOURCE routes through ``sizing`` (r9): ``'auto'`` (default) takes
+    the zero-job uniform byte model only when its worst-case
+    concentration bound (``_mp_model_worst_case_bytes``) already fits
+    the budget — provably safe under ANY bucket distribution — and
+    otherwise runs the exact skew-immune candidate count
+    (``_mp_exact_candidate_count``, one linear job; the measured
+    price of a disk bound that holds on clustered corpora, where the
+    bare model was measured 11.2x under truth). An explicit
+    ``skew_factor`` routes 'auto' to the model path (the caller
+    asserted their skew); Catalyst-stats-unavailable routes it to the
+    stats-free count. ``'model'``/``'data'`` force a source. Returns
+    a report dict; raises the same named errors the operator raises
     for contradictory knobs. Advisory signals (r8 advice — no knob
     the caller paid for is ever silently ignored):
 
@@ -1365,9 +1407,9 @@ def _mp_resolve_mode(
             f"tables_per_pass must be >= 1 (got {tables_per_pass}); "
             "use None for the single-pass default"
         )
-    if sizing not in ("model", "data"):
+    if sizing not in ("auto", "model", "data"):
         raise ValueError(
-            f"sizing must be 'model' or 'data', got {sizing!r}"
+            f"sizing must be 'auto', 'model' or 'data', got {sizing!r}"
         )
     explicit_k = tables_per_pass is not None
     budget_given = disk_budget_bytes is not None
@@ -1425,6 +1467,8 @@ def _mp_resolve_mode(
     skew_used: float | None = None
     budget_consulted = False
     unknown_size = False
+    sizing_effective: str | None = None
+    model_worst_case: int | None = None
     if not broadcast_corpus and not explicit_k:
         # The auto-sizer (r7 verdict #1): the sizing rule
         # (SCALE.md §Round-7) as mechanism, so the shuffle tier never
@@ -1443,7 +1487,53 @@ def _mp_resolve_mode(
         if input_bytes is None:
             input_bytes = _plan_size_bytes(emb)
         unknown_size = input_bytes >= PLAN_SIZE_UNKNOWN
-        if sizing == "data":
+        if sizing != "data" and skew_factor is None:
+            # resolved before routing: under 'auto' an explicit skew
+            # factor (arg or conf) is the caller asserting knowledge
+            # of their corpus's skew — honor it on the zero-job model
+            # path instead of re-deriving it with the count job
+            raw = emb.sparkSession.conf.get(
+                "spark.cndp.mp.skewFactor", None
+            )
+            if raw is not None:
+                try:
+                    skew_factor = float(raw)
+                except ValueError:
+                    raise ValueError(
+                        "spark.cndp.mp.skewFactor must be a float, "
+                        f"got {raw!r}"
+                    ) from None
+        sizing_effective = sizing
+        if sizing == "auto":
+            # r9: the default. The uniform byte model was MEASURED
+            # 11.2x under the true stream on a clustered corpus (the
+            # shape near-dup dedup exists for) — the zero-job model
+            # path is only taken when it is PROVABLY safe under any
+            # bucket distribution (worst-case concentration bound ≤
+            # budget); otherwise the exact count prices one linear
+            # job for a disk bound that actually holds
+            # (SCALE_LADDER_SKEW_r09.json: model-sized runs violated
+            # a 2 GiB budget 3.05x; data-sized held every rung).
+            if skew_factor is not None:
+                sizing_effective = "model"
+            elif unknown_size:
+                # the count needs no Catalyst stats — strictly more
+                # information than declining (the 'model' sentinel
+                # path below), at the count job's disclosed price
+                sizing_effective = "data"
+            else:
+                model_raw = _mp_candidate_stream_bytes(
+                    input_bytes, dim, n_tables, n_bits, probe_radius
+                )
+                model_worst_case = _mp_model_worst_case_bytes(
+                    model_raw, n_bits
+                )
+                sizing_effective = (
+                    "model"
+                    if model_worst_case <= disk_budget_bytes
+                    else "data"
+                )
+        if sizing_effective == "data":
             if skew_factor is not None:
                 warnings.warn(
                     "skew_factor is ignored under sizing='data': the "
@@ -1471,11 +1561,14 @@ def _mp_resolve_mode(
             est_source = "data"
             budget_consulted = True
         elif unknown_size:
-            # r8 advice: the sentinel estimate carries no information;
-            # chunking on it would run n_tables eager jobs on zero
-            # evidence. Decline — lazy single-pass — and require
-            # explicit knobs for bounded disk under degraded stats.
-            # (_plan_size_bytes already warned about the degradation.)
+            # r8 advice: the sentinel MODEL estimate carries no
+            # information; chunking on it would run n_tables eager
+            # jobs on zero evidence. Decline — lazy single-pass — and
+            # require explicit knobs for bounded disk under degraded
+            # stats. (Reachable only under explicit sizing='model' or
+            # a skew_factor: the 'auto' default routes the sentinel
+            # to the stats-free exact count instead.
+            # _plan_size_bytes already warned about the degradation.)
             est_source = "unknown"
             if eager_passes:
                 raise ValueError(
@@ -1484,24 +1577,14 @@ def _mp_resolve_mode(
                     "size probe), so the auto-sizer has no information "
                     "to pick tables_per_pass with and declines to "
                     "guess. Pass tables_per_pass=K explicitly to get "
-                    "bounded-disk eager passes under degraded stats."
+                    "bounded-disk eager passes under degraded stats, "
+                    "or sizing='data' (or the 'auto' default) to size "
+                    "from the exact stats-free candidate count."
                 )
             eager_passes = False
         else:
             if skew_factor is None:
-                raw = emb.sparkSession.conf.get(
-                    "spark.cndp.mp.skewFactor", None
-                )
-                if raw is not None:
-                    try:
-                        skew_factor = float(raw)
-                    except ValueError:
-                        raise ValueError(
-                            "spark.cndp.mp.skewFactor must be a float, "
-                            f"got {raw!r}"
-                        ) from None
-                else:
-                    skew_factor = MP_SKEW_FACTOR
+                skew_factor = MP_SKEW_FACTOR
             if not skew_factor > 0:
                 raise ValueError(
                     f"skew_factor must be > 0 (got {skew_factor})"
@@ -1583,6 +1666,9 @@ def _mp_resolve_mode(
         "broadcast_gate_bytes": gate,
         "est_stream_bytes": est,
         "est_source": est_source,
+        "sizing": sizing,
+        "sizing_effective": sizing_effective,
+        "model_worst_case_bytes": model_worst_case,
         "skew_factor": skew_used,
         "disk_budget_bytes": disk_budget_bytes,
         "budget_consulted": budget_consulted,
@@ -1610,7 +1696,7 @@ def mp_mode_report(
     eager_passes: bool | None = None,
     disk_budget_bytes: int | None = None,
     skew_factor: float | None = None,
-    sizing: str = "model",
+    sizing: str = "auto",
 ) -> dict:
     """What WOULD ``ann_lsh_multiprobe_pairs`` do with these knobs —
     without running the job (r8 verdict #6: the auto decision was
@@ -1621,7 +1707,11 @@ def mp_mode_report(
     'single-pass-shuffle' / 'chunked-shuffle'), ``input_bytes`` (the
     Catalyst estimate the gate read, None if unreachable),
     ``broadcast_gate_bytes``, ``est_stream_bytes`` + ``est_source``
-    ('model' / 'data' / 'unknown'), ``skew_factor`` (as applied),
+    ('model' / 'data' / 'unknown'), ``sizing`` (as requested) +
+    ``sizing_effective`` ('auto' resolved to the path actually taken;
+    None where sizing was never consulted) +
+    ``model_worst_case_bytes`` (the concentration bound 'auto' routed
+    on, when computed), ``skew_factor`` (as applied),
     ``disk_budget_bytes`` + ``budget_consulted``, resolved
     ``tables_per_pass`` / ``n_passes`` / ``eager_passes``, and
     ``est_pass_bytes`` (the per-pass stream the disk budget bounds).
@@ -1635,10 +1725,14 @@ def mp_mode_report(
     ``mp_mode_report(emb, "vec_id", "embedding",
     **PROD_NEAR_DUP_MP)``.
 
-    Job cost: zero — EXCEPT under ``sizing='data'``, which runs the
-    one linear candidate-counting job the operator itself would run
-    (``_mp_exact_candidate_count``); that is the knob's documented
-    price in both places."""
+    Job cost: zero — EXCEPT when the exact candidate count runs: under
+    ``sizing='data'``, or under the ``'auto'`` default whenever the
+    model's worst-case concentration bound exceeds the disk budget
+    (in the real shuffle tier that is nearly always — the zero-job
+    fast path engages only near the broadcast gate). The count is the
+    one linear job the operator itself would run
+    (``_mp_exact_candidate_count``); that is the documented price in
+    both places. ``sizing='model'`` is the fully-lazy opt-out."""
     del threshold, hamming_max  # resolution is threshold-independent
     return _mp_resolve_mode(
         emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
@@ -1664,7 +1758,7 @@ def ann_lsh_multiprobe_pairs(
     eager_passes: bool | None = None,
     disk_budget_bytes: int | None = None,
     skew_factor: float | None = None,
-    sizing: str = "model",
+    sizing: str = "auto",
 ) -> DataFrame:
     """Scale path for LOW-threshold ANN pairs: bit-pool multi-probe
     sign-LSH with a packed-signature Hamming prefilter, wrapped in the
@@ -1719,8 +1813,9 @@ def ann_lsh_multiprobe_pairs(
 
     **Auto-sizing (r7 verdict #1)**: with ``tables_per_pass=None`` in
     the shuffle tier, the operator sizes K itself — it estimates the
-    unscreened candidate-stream volume from the input relation's
-    Catalyst size (``_mp_candidate_stream_bytes``, calibrated on the
+    unscreened candidate-stream volume (source chosen by ``sizing``
+    — see the Skew paragraph below; the byte model
+    ``_mp_candidate_stream_bytes`` is calibrated on the
     measured r6/r7 ladder) and compares it against a per-pass disk
     budget: the ``disk_budget_bytes`` argument, else the
     ``spark.cndp.mp.diskBudgetBytes`` conf, else
@@ -1738,20 +1833,32 @@ def ann_lsh_multiprobe_pairs(
     the stream fits the budget, warns and stays lazy — the requested
     disk bound already holds without passes).
 
-    **Skew (r8 verdict #2)**: the byte model assumes UNIFORM
-    bucketing; a clustered corpus — the shape near-dup dedup exists
-    for — concentrates candidates in few buckets and the true stream
-    can exceed the uniform estimate by the mean-cluster-size factor
-    (measured 19.7x on a 60-cluster warehouse — enough to blow
-    through a budget the model called safe, SCALE.md §Round-9). Two
-    defenses: ``skew_factor`` (arg / ``spark.cndp.mp.skewFactor``
-    conf, default 1.0) statically multiplies the model estimate;
-    ``sizing='data'`` replaces the model with the EXACT candidate
-    count — one linear counting job over the signatures at
-    construction time (``_mp_exact_candidate_count``; the same
-    disclosed eagerness class as ``eager_passes``), immune to skew by
-    construction and conservative under exact duplication (it counts
-    the raw input, the cascade only shrinks the real stream).
+    **Skew (r8 verdict #2) and the ``sizing`` router (r9)**: the byte
+    model assumes UNIFORM bucketing; a clustered corpus — the shape
+    near-dup dedup exists for — concentrates candidates in few
+    buckets and the true stream exceeds the uniform estimate by
+    ~2^k/(masks·NC) — a property of the cluster count, not of N
+    (measured 11.2x at every rung of a 16-cluster warehouse — enough
+    to blow through a budget the model called safe, SCALE.md
+    §Round-9). ``sizing='auto'`` (the default) therefore takes the
+    zero-job model path ONLY when the model's worst-case
+    concentration bound (true stream ≤ model·2^(k-1), provable —
+    ``_mp_model_worst_case_bytes``) already fits the budget, i.e.
+    when NO bucket distribution could violate it; otherwise it sizes
+    from ``sizing='data'``: the EXACT candidate count — one linear
+    counting job over the signatures at construction time
+    (``_mp_exact_candidate_count``; the same disclosed eagerness
+    class as ``eager_passes``, and negligible next to the quadratic
+    work it sizes), immune to skew by construction and conservative
+    under exact duplication (it counts the raw input, the cascade
+    only shrinks the real stream). Opt-outs: an explicit
+    ``skew_factor`` (arg / ``spark.cndp.mp.skewFactor`` conf) routes
+    'auto' to the model path with the estimate statically multiplied
+    — the zero-job hedge for a caller who knows their corpus's skew;
+    ``sizing='model'`` pins the fully-lazy r8 behavior (and with it
+    the measured risk: model-sized runs violated a 2 GiB budget up
+    to 3.05x on the clustered warehouse while data-sized runs held
+    every rung, SCALE_LADDER_SKEW_r09.json).
 
     **Runtime sizing feedback (r8 verdict #1)**: whichever estimate
     sized the passes is open-loop calibration, not physics — so when

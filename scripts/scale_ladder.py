@@ -354,6 +354,12 @@ EXTRA_QUERIES = {
     "ann_mp_t04_auto_tight_budget_data": (
         lambda s, d: _mp_t04_auto_tight_budget(s, d, "data")
     ),
+    # r9: the zero-knob DEFAULT (sizing='auto') on the same tight
+    # budget — must behave like the data-sized row on clustered
+    # warehouses (the worst-case bound refuses the model there)
+    "ann_mp_t04_auto_tight_budget_auto": (
+        lambda s, d: _mp_t04_auto_tight_budget(s, d, "auto")
+    ),
     # mode-comparison rows: select via SPARK_GRAFT_LADDER_QUERIES
     # (not in any default subset — they exist to measure the
     # broadcast-vs-shuffle delta, not to run every ladder)

@@ -18,6 +18,13 @@ Three subjects, all on the auto-sizer the r8 round built:
    data-driven candidate counting (``sizing='data'``), the
    ``skew_factor`` knob, unconsulted-knob warnings, the followable
    n_tables=1 advice, and the sentinel-estimate decline.
+
+4. **The ``sizing='auto'`` router** (r9, now the default): zero-job
+   model path only when the worst-case concentration bound proves
+   safety under any bucket distribution; exact count otherwise; an
+   explicit skew_factor or sizing='model' opts out; the Catalyst
+   sentinel routes to the stats-free count. Routing pinned against
+   the measured SCALE_LADDER_SKEW_r09.json rungs.
 """
 
 from __future__ import annotations
@@ -205,11 +212,33 @@ def test_mode_report_broadcast_regime(emb):
 
 
 def test_mode_report_single_pass_shuffle(emb):
+    """Zero-knob shuffle tier at sf0.001: the model estimate
+    (~17 MB) fits the 32 GiB budget but its worst-case concentration
+    bound (x2^11 = ~34 GiB) does NOT quite — so the r9 'auto' default
+    must refuse to trust the model, pay the count job, and land on
+    single-pass from the exact stream (which of course fits)."""
     rep = mp_mode_report(
         emb, "vec_id", "embedding", broadcast_corpus=False
     )
     assert rep["regime"] == "single-pass-shuffle"
+    assert rep["sizing"] == "auto"
+    assert rep["sizing_effective"] == "data"
+    assert rep["est_source"] == "data"
+    assert rep["model_worst_case_bytes"] > rep["disk_budget_bytes"]
+    assert rep["budget_consulted"] is True
+    assert rep["est_stream_bytes"] <= rep["disk_budget_bytes"]
+    assert rep["est_pass_bytes"] == rep["est_stream_bytes"]
+    assert rep["skew_factor"] is None  # the exact count needs no hedge
+
+
+def test_mode_report_model_sizing_single_pass(emb):
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        sizing="model",
+    )
+    assert rep["regime"] == "single-pass-shuffle"
     assert rep["est_source"] == "model"
+    assert rep["sizing_effective"] == "model"
     assert rep["budget_consulted"] is True
     assert rep["est_stream_bytes"] <= rep["disk_budget_bytes"]
     assert rep["est_pass_bytes"] == rep["est_stream_bytes"]
@@ -219,11 +248,14 @@ def test_mode_report_single_pass_shuffle(emb):
 def test_mode_report_chunked_matches_the_sizer(emb):
     """A budget below the estimate must flip the report to chunked
     eager passes with EXACTLY the K the sizing rule computes — the
-    report is the resolution code, not a reimplementation."""
+    report is the resolution code, not a reimplementation.
+    sizing='model' pins the byte-model source (under the r9 'auto'
+    default this tiny budget would route to the exact count, whose K
+    is data- not model-derived)."""
     budget = 64 * 1024
     rep = mp_mode_report(
         emb, "vec_id", "embedding", broadcast_corpus=False,
-        disk_budget_bytes=budget,
+        disk_budget_bytes=budget, sizing="model",
     )
     assert rep["regime"] == "chunked-shuffle"
     assert rep["eager_passes"] is True
@@ -371,7 +403,8 @@ def test_data_sizing_output_identical(emb):
 
 def test_skew_factor_scales_the_model_estimate(emb):
     base = mp_mode_report(
-        emb, "vec_id", "embedding", broadcast_corpus=False
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        sizing="model",
     )
     skewed = mp_mode_report(
         emb, "vec_id", "embedding", broadcast_corpus=False,
@@ -463,14 +496,17 @@ def test_stream_fits_eager_advice_still_names_the_knob(emb):
 def test_sentinel_estimate_declines_auto_chunking(emb, monkeypatch):
     """Advice #3: when Catalyst stats are unreachable the old sizer
     chunked MAXIMALLY (n_tables eager construction-time jobs on zero
-    information). It must now decline — lazy single-pass — and an
-    explicit eager request must raise a named error instead of
-    guessing."""
+    information). Under sizing='model' it must decline — lazy
+    single-pass — and an explicit eager request must raise a named
+    error instead of guessing. (The r9 'auto' default routes the
+    sentinel to the stats-free exact count instead — see
+    test_auto_sentinel_runs_the_stats_free_count.)"""
     monkeypatch.setattr(
         sim, "_plan_size_bytes", lambda df: PLAN_SIZE_UNKNOWN
     )
     rep = mp_mode_report(
-        emb, "vec_id", "embedding", broadcast_corpus=False
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        sizing="model",
     )
     assert rep["regime"] == "single-pass-shuffle"
     assert rep["est_source"] == "unknown"
@@ -481,5 +517,131 @@ def test_sentinel_estimate_declines_auto_chunking(emb, monkeypatch):
     with pytest.raises(ValueError, match="declines to guess"):
         mp_mode_report(
             emb, "vec_id", "embedding", broadcast_corpus=False,
-            eager_passes=True,
+            eager_passes=True, sizing="model",
         )
+
+
+# ---------------------------------------------------------------------------
+# r9: the sizing='auto' router (the default is now skew-safe)
+# ---------------------------------------------------------------------------
+
+
+def _count_forbidden(monkeypatch):
+    def boom(*a, **kw):  # pragma: no cover - failing is the assert
+        raise AssertionError(
+            "the exact-count job ran on a provably-safe resolution"
+        )
+
+    monkeypatch.setattr(sim, "_mp_exact_candidate_count", boom)
+
+
+def test_auto_routes_to_model_when_provably_safe(emb, monkeypatch):
+    """'auto' takes the zero-job model path ONLY when the worst-case
+    concentration bound (true stream <= model * 2^(k-1), provable)
+    already fits the budget — then NO bucket distribution can violate
+    it and the count job would be a pure waste. (sf0.001's worst-case
+    bound is ~34 GiB — just past the 32 GiB default, which is why the
+    default-budget test above routes to 'data'; a 64 GiB budget puts
+    this corpus inside the provably-safe zone.)"""
+    _count_forbidden(monkeypatch)
+    budget = 64 * 1024**3
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=budget,
+    )
+    assert rep["sizing_effective"] == "model"
+    assert rep["est_source"] == "model"
+    assert rep["model_worst_case_bytes"] == (
+        rep["est_stream_bytes"] << 11  # n_bits=12 -> 2^(k-1)
+    )
+    assert rep["model_worst_case_bytes"] <= budget
+    assert rep["regime"] == "single-pass-shuffle"
+    assert rep["skew_factor"] == 1.0
+
+
+def test_auto_routes_to_data_past_the_worst_case_bound(
+    emb, monkeypatch
+):
+    """When the model cannot PROVE safety (worst-case bound exceeds
+    the budget), 'auto' must pay the one linear count job and size
+    from the exact, skew-immune stream — the r9 measured fix for the
+    clustered corpora the bare model under-estimated 11.2x on."""
+    fake_count = 10_000_000
+    monkeypatch.setattr(
+        sim, "_mp_exact_candidate_count", lambda *a, **kw: fake_count
+    )
+    budget = 16 * MB
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=budget,
+    )
+    assert rep["sizing"] == "auto"
+    assert rep["sizing_effective"] == "data"
+    assert rep["est_source"] == "data"
+    assert rep["est_stream_bytes"] == fake_count * _MP_CANDIDATE_ROW_BYTES
+    assert rep["model_worst_case_bytes"] > budget
+    assert rep["regime"] == "chunked-shuffle"
+    assert rep["eager_passes"] is True
+    # the bound the router exists for: per-pass stream within one
+    # table slice of the budget
+    slice_ = rep["est_stream_bytes"] / 160
+    assert rep["est_pass_bytes"] <= budget + slice_ + 1
+
+
+def test_auto_with_skew_factor_stays_zero_job(emb, monkeypatch):
+    """An explicit skew_factor is the caller asserting knowledge of
+    their corpus's skew: 'auto' must honor it on the zero-job model
+    path instead of re-deriving skew with the count job."""
+    _count_forbidden(monkeypatch)
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=16 * MB, skew_factor=12.0,
+    )
+    assert rep["sizing_effective"] == "model"
+    assert rep["est_source"] == "model"
+    assert rep["skew_factor"] == 12.0
+
+
+def test_auto_sentinel_runs_the_stats_free_count(emb, monkeypatch):
+    """Catalyst stats unreachable: 'model' must decline (zero
+    information), but the 'auto' default has a strictly better move —
+    the exact count needs no Catalyst stats — so it must size from
+    the data and even honor an explicit eager request."""
+    monkeypatch.setattr(
+        sim, "_plan_size_bytes", lambda df: PLAN_SIZE_UNKNOWN
+    )
+    fake_count = 10_000_000
+    monkeypatch.setattr(
+        sim, "_mp_exact_candidate_count", lambda *a, **kw: fake_count
+    )
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=16 * MB,
+    )
+    assert rep["input_bytes_unknown"] is True
+    assert rep["sizing_effective"] == "data"
+    assert rep["est_source"] == "data"
+    assert rep["est_stream_bytes"] == fake_count * _MP_CANDIDATE_ROW_BYTES
+    assert rep["regime"] == "chunked-shuffle"
+    assert rep["eager_passes"] is True
+
+
+def test_auto_routing_reproduces_the_r9_skew_rungs():
+    """Spark-free pin against SCALE_LADDER_SKEW_r09.json: at the
+    measured clustered x2/x3 rungs the model estimates (0.53 / 1.19
+    GB) FIT the 2 GiB budget — the r8 model-sized runs went
+    single-pass and violated it 1.56x / 3.05x. The 'auto' worst-case
+    bound must refuse the model there (route to the count), and the
+    exact counts must chunk to the K values whose runs held the
+    budget (3x54, 7x23)."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _mp_k_from_estimate,
+        _mp_model_worst_case_bytes,
+    )
+
+    budget = 2 * 1024**3
+    for model_est in (528_811_220, 1_189_208_440):
+        assert model_est <= budget  # what fooled the model-sized runs
+        assert _mp_model_worst_case_bytes(model_est, 12) > budget
+    assert _mp_k_from_estimate(5_943_649_180, 160, budget) == 54
+    assert _mp_k_from_estimate(13_391_046_060, 160, budget) == 23

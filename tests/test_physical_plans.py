@@ -327,9 +327,11 @@ def test_multiprobe_auto_chunking_flips_on_disk_budget(spark):
     spark.cndp.mp.diskBudgetBytes conf) must flip the auto mode to
     the chunked Union shape; the default budget must keep the cheaper
     single-pass plan at this input size (chunking below the disk wall
-    is a measured ~3x wall loss). eager_passes=False keeps the
-    flipped plan lazy so the shape is assertable without running
-    construction-time jobs."""
+    is a measured ~3x wall loss). eager_passes=False plus
+    sizing='model' (the zero-job source — the r9 'auto' default would
+    run the exact-count job here) keeps the flipped plan fully lazy
+    so the shape is assertable without running construction-time
+    jobs."""
     from canadiannewsdatapipeline_spark.operators import similarity as sim
     from canadiannewsdatapipeline_spark.sources.registry import load_table
 
@@ -338,7 +340,8 @@ def test_multiprobe_auto_chunking_flips_on_disk_budget(spark):
     def plan(**kw):
         df = sim.ann_lsh_multiprobe_pairs(
             emb, "vec_id", "embedding", 0.4, n_tables=8,
-            broadcast_corpus=False, eager_passes=False, **kw
+            broadcast_corpus=False, eager_passes=False,
+            sizing="model", **kw
         )
         return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
