@@ -626,6 +626,33 @@ def test_auto_sentinel_runs_the_stats_free_count(emb, monkeypatch):
     assert rep["eager_passes"] is True
 
 
+def test_auto_sentinel_end_to_end_output_equal(emb, monkeypatch):
+    """The auto-sentinel path all the way through a REAL run (the
+    report test above fakes the count): with Catalyst stats gone and
+    a tiny budget, the default must count, chunk eagerly, execute,
+    and produce pairs bit-identical to the broadcast default."""
+    args = dict(pool=252, n_bits=12, n_tables=8, probe_radius=1,
+                hamming_max=112)
+    want = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args
+        ).collect()
+    }
+    monkeypatch.setattr(
+        sim, "_plan_size_bytes", lambda df: PLAN_SIZE_UNKNOWN
+    )
+    got = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args,
+            broadcast_corpus=False, disk_budget_bytes=1024,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_auto_routing_reproduces_the_r9_skew_rungs():
     """Spark-free pin against SCALE_LADDER_SKEW_r09.json: at the
     measured clustered x2/x3 rungs the model estimates (0.53 / 1.19
