@@ -1375,10 +1375,15 @@ def _mp_resolve_mode(
     otherwise runs the exact skew-immune candidate count
     (``_mp_exact_candidate_count``, one linear job; the measured
     price of a disk bound that holds on clustered corpora, where the
-    bare model was measured 11.2x under truth). An explicit
+    bare model was measured 11.2x under truth) and sizes from
+    ``max(exact, model)`` — the asymmetric-loss combiner: each
+    estimator under-shoots in a different regime, under-chunking
+    risks the disk wall while over-chunking is the bounded ~3x, so
+    the max is never coarser than either alone. An explicit
     ``skew_factor`` routes 'auto' to the model path (the caller
     asserted their skew); Catalyst-stats-unavailable routes it to the
-    stats-free count. ``'model'``/``'data'`` force a source. Returns
+    stats-free count (no model to floor with).
+    ``'model'``/``'data'`` force a pure source. Returns
     a report dict; raises the same named errors the operator raises
     for contradictory knobs. Advisory signals (r8 advice — no knob
     the caller paid for is ever silently ignored):
@@ -1463,6 +1468,7 @@ def _mp_resolve_mode(
             "applies."
         )
     est: int | None = None
+    est_exact: int | None = None
     est_source: str | None = None
     skew_used: float | None = None
     budget_consulted = False
@@ -1504,6 +1510,7 @@ def _mp_resolve_mode(
                         f"got {raw!r}"
                     ) from None
         sizing_effective = sizing
+        auto_model_floor: int | None = None
         if sizing == "auto":
             # r9: the default. The uniform byte model was MEASURED
             # 11.2x under the true stream on a clustered corpus (the
@@ -1528,11 +1535,25 @@ def _mp_resolve_mode(
                 model_worst_case = _mp_model_worst_case_bytes(
                     model_raw, n_bits
                 )
-                sizing_effective = (
-                    "model"
-                    if model_worst_case <= disk_budget_bytes
-                    else "data"
-                )
+                if model_worst_case <= disk_budget_bytes:
+                    sizing_effective = "model"
+                else:
+                    sizing_effective = "data"
+                    # asymmetric-loss combiner (r9, measured): on the
+                    # count route, size from max(exact, model). The
+                    # two estimators under-shoot in DIFFERENT regimes
+                    # (the model by the bucket-concentration factor
+                    # on clustered corpora; the exact count by the
+                    # per-candidate byte drift on uniform ones —
+                    # measured feedback ratio 1.20 at fresh-x30,
+                    # where exact-only sizing picked 3x54 at the
+                    # slack edge while the model's 4x40 ran 25%
+                    # faster at 29.8 GB). Under-chunking risks the
+                    # disk wall (unbounded); over-chunking costs ≤
+                    # the measured ~3x (bounded) — so take the max:
+                    # never coarser than either estimator alone,
+                    # never finer than the r8 model default.
+                    auto_model_floor = model_raw
         if sizing_effective == "data":
             if skew_factor is not None:
                 warnings.warn(
@@ -1558,7 +1579,12 @@ def _mp_resolve_mode(
                 e, pool, n_bits, n_tables, probe_radius, dim
             )
             est = n_candidates * _MP_CANDIDATE_ROW_BYTES
+            est_exact = est
             est_source = "data"
+            if auto_model_floor is not None and auto_model_floor > est:
+                # the 'auto' max() combiner — see the routing comment
+                est = auto_model_floor
+                est_source = "data+model-floor"
             budget_consulted = True
         elif unknown_size:
             # r8 advice: the sentinel MODEL estimate carries no
@@ -1665,6 +1691,7 @@ def _mp_resolve_mode(
         "input_bytes_unknown": unknown_size,
         "broadcast_gate_bytes": gate,
         "est_stream_bytes": est,
+        "est_exact_bytes": est_exact,
         "est_source": est_source,
         "sizing": sizing,
         "sizing_effective": sizing_effective,
@@ -1707,7 +1734,10 @@ def mp_mode_report(
     'single-pass-shuffle' / 'chunked-shuffle'), ``input_bytes`` (the
     Catalyst estimate the gate read, None if unreachable),
     ``broadcast_gate_bytes``, ``est_stream_bytes`` + ``est_source``
-    ('model' / 'data' / 'unknown'), ``sizing`` (as requested) +
+    ('model' / 'data' / 'data+model-floor' — the 'auto' max()
+    combiner chose the model value over a smaller exact count — /
+    'unknown') + ``est_exact_bytes`` (the raw count whenever the
+    count job ran), ``sizing`` (as requested) +
     ``sizing_effective`` ('auto' resolved to the path actually taken;
     None where sizing was never consulted) +
     ``model_worst_case_bytes`` (the concentration bound 'auto' routed
@@ -1844,14 +1874,22 @@ def ann_lsh_multiprobe_pairs(
     zero-job model path ONLY when the model's worst-case
     concentration bound (true stream ≤ model·2^(k-1), provable —
     ``_mp_model_worst_case_bytes``) already fits the budget, i.e.
-    when NO bucket distribution could violate it; otherwise it sizes
-    from ``sizing='data'``: the EXACT candidate count — one linear
-    counting job over the signatures at construction time
-    (``_mp_exact_candidate_count``; the same disclosed eagerness
-    class as ``eager_passes``, and negligible next to the quadratic
-    work it sizes), immune to skew by construction and conservative
-    under exact duplication (it counts the raw input, the cascade
-    only shrinks the real stream). Opt-outs: an explicit
+    when NO bucket distribution could violate it; otherwise it runs
+    the EXACT candidate count — one linear counting job over the
+    signatures at construction time (``_mp_exact_candidate_count``;
+    the same disclosed eagerness class as ``eager_passes``, and
+    negligible next to the quadratic work it sizes), immune to skew
+    by construction and conservative under exact duplication (it
+    counts the raw input, the cascade only shrinks the real
+    stream) — and sizes from ``max(exact, model)``. The max is the
+    asymmetric-loss combiner: the model under-shoots on clustered
+    corpora (11.2x), the exact count under-shoots on uniform ones
+    (measured per-pass byte ratio 1.20 at fresh-x30, enough to pick
+    3x54 at the slack edge where the model's 4x40 ran 25% faster);
+    under-chunking risks the disk wall, over-chunking costs at most
+    the measured ~3x, so 'auto' is never coarser than either
+    estimator alone and never finer than the r8 model default
+    (``sizing='data'`` keeps the pure exact count). Opt-outs: an explicit
     ``skew_factor`` (arg / ``spark.cndp.mp.skewFactor`` conf) routes
     'auto' to the model path with the estimate statically multiplied
     — the zero-job hedge for a caller who knows their corpus's skew;

@@ -216,14 +216,21 @@ def test_mode_report_single_pass_shuffle(emb):
     (~17 MB) fits the 32 GiB budget but its worst-case concentration
     bound (x2^11 = ~34 GiB) does NOT quite — so the r9 'auto' default
     must refuse to trust the model, pay the count job, and land on
-    single-pass from the exact stream (which of course fits)."""
+    single-pass. On this near-uniform corpus the exact count
+    (~5.8 MB) reads BELOW the model, so the max() combiner keeps the
+    model value as the sizing floor (est_source says so) — either
+    way single-pass, since both fit."""
     rep = mp_mode_report(
         emb, "vec_id", "embedding", broadcast_corpus=False
     )
     assert rep["regime"] == "single-pass-shuffle"
     assert rep["sizing"] == "auto"
     assert rep["sizing_effective"] == "data"
-    assert rep["est_source"] == "data"
+    assert rep["est_source"] == "data+model-floor"
+    assert rep["est_exact_bytes"] < rep["est_stream_bytes"]
+    assert rep["est_stream_bytes"] == (
+        rep["model_worst_case_bytes"] >> 11  # the model est it floored to
+    )
     assert rep["model_worst_case_bytes"] > rep["disk_budget_bytes"]
     assert rep["budget_consulted"] is True
     assert rep["est_stream_bytes"] <= rep["disk_budget_bytes"]
@@ -577,8 +584,11 @@ def test_auto_routes_to_data_past_the_worst_case_bound(
     )
     assert rep["sizing"] == "auto"
     assert rep["sizing_effective"] == "data"
+    # the faked count (700 MB) exceeds this corpus's ~17 MB model
+    # est, so the max() combiner keeps the exact value
     assert rep["est_source"] == "data"
     assert rep["est_stream_bytes"] == fake_count * _MP_CANDIDATE_ROW_BYTES
+    assert rep["est_exact_bytes"] == rep["est_stream_bytes"]
     assert rep["model_worst_case_bytes"] > budget
     assert rep["regime"] == "chunked-shuffle"
     assert rep["eager_passes"] is True
@@ -586,6 +596,30 @@ def test_auto_routes_to_data_past_the_worst_case_bound(
     # table slice of the budget
     slice_ = rep["est_stream_bytes"] / 160
     assert rep["est_pass_bytes"] <= budget + slice_ + 1
+
+
+def test_auto_model_floor_when_exact_reads_low(emb, monkeypatch):
+    """The max() combiner (r9): on uniform corpora the exact count
+    under-shoots the model (measured: 0.71x at fresh-x30, where
+    exact-only sizing picked the 25%-slower 3x54) — so when the
+    count job returns LESS than the model estimate, 'auto' must size
+    from the model value and say so in est_source. Over-chunking is
+    the bounded loss; the floor can only chunk finer."""
+    monkeypatch.setattr(
+        sim, "_mp_exact_candidate_count", lambda *a, **kw: 1000
+    )
+    budget = 4 * MB
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=budget,
+    )
+    assert rep["est_source"] == "data+model-floor"
+    assert rep["est_exact_bytes"] == 1000 * _MP_CANDIDATE_ROW_BYTES
+    assert rep["est_stream_bytes"] > rep["est_exact_bytes"]
+    # K comes from the floored (model) estimate: the exact count
+    # alone (70 KB) would have said single-pass under this budget
+    assert rep["regime"] == "chunked-shuffle"
+    assert rep["tables_per_pass"] is not None
 
 
 def test_auto_with_skew_factor_stays_zero_job(emb, monkeypatch):
@@ -670,5 +704,30 @@ def test_auto_routing_reproduces_the_r9_skew_rungs():
     for model_est in (528_811_220, 1_189_208_440):
         assert model_est <= budget  # what fooled the model-sized runs
         assert _mp_model_worst_case_bytes(model_est, 12) > budget
-    assert _mp_k_from_estimate(5_943_649_180, 160, budget) == 54
-    assert _mp_k_from_estimate(13_391_046_060, 160, budget) == 23
+    # the max() combiner keeps the (larger) exact counts here, and
+    # they chunk to the K values whose runs held the budget
+    assert _mp_k_from_estimate(
+        max(5_943_649_180, 528_811_220), 160, budget
+    ) == 54
+    assert _mp_k_from_estimate(
+        max(13_391_046_060, 1_189_208_440), 160, budget
+    ) == 23
+
+
+def test_auto_combiner_reproduces_the_uniform_x30_rung():
+    """Spark-free pin of the max() combiner against the measured
+    uniform fresh-x30 rungs (SCALE_LADDER_AUTO_DEFAULT_r09.json):
+    the exact count read 84.5 GB (0.71x the 118.8 GB model) and
+    exact-only sizing picked 3x54 (757.7 s / 34.49 GB, the slack
+    edge) while the model's 4x40 ran 573.5 s / 29.78 GB same-box.
+    max(exact, model) keeps the model there and recovers 4x40."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        MP_DISK_BUDGET_BYTES,
+        _mp_k_from_estimate,
+    )
+
+    exact, model = 84_462_939_820, 118_781_078_430
+    assert _mp_k_from_estimate(exact, 160, MP_DISK_BUDGET_BYTES) == 54
+    assert _mp_k_from_estimate(
+        max(exact, model), 160, MP_DISK_BUDGET_BYTES
+    ) == 40
