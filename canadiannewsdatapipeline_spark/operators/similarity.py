@@ -646,25 +646,40 @@ def _mp_k_from_estimate(
     return -(-n_tables // n_passes)
 
 
-def _mp_model_worst_case_bytes(model_est_bytes: int, n_bits: int) -> int:
-    """PROVABLE upper bound on the true candidate stream, as a
-    multiple of the uniform-bucketing model estimate — the routing
-    test ``sizing='auto'`` uses to decide whether the zero-job model
-    path is safe under ANY bucket distribution (r9).
+def _mp_model_worst_case_bytes(
+    input_bytes: int,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    probe_radius: int,
+) -> int:
+    """PROVABLE upper bound on the true candidate stream — the
+    routing test ``sizing='auto'`` uses to decide whether the
+    zero-job model path is safe under ANY bucket distribution (r9).
 
     Derivation: per table, the ordered (probe, home) candidate rows
     are sum_b pc(b)·hc(b) where pc counts probe landings and hc home
     rows. sum_b pc(b) = N·masks (every row probes ``masks`` buckets)
-    and hc(b) ≤ N, so the sum is ≤ masks·N² — i.e. 2^k times the
-    model's masks·N²/2^k. Unordered candidates are half that. So
-    true_stream ≤ model_est · 2^(n_bits-1), with equality only under
-    total concentration (every probe landing in a full bucket). The
-    measured clustered warehouse sat at 11.2x — far inside this
-    bound, which is exactly why the bound is only useful as a SAFETY
-    proof (worst ≤ budget ⇒ no distribution can violate), never as a
-    sizing estimate (chunking by it would over-chunk uniform corpora
-    ~2000x)."""
-    return model_est_bytes << max(n_bits - 1, 0)
+    and hc(b) ≤ N, so the sum is ≤ masks·N². Unordered candidates
+    are half that: true_pairs ≤ n_tables·masks·N²/2, with equality
+    only under total concentration (every probe landing in a full
+    bucket). Computed from the UNFLOORED product (r9 advice): the
+    earlier form re-expanded the model's floored ``>> n_bits``
+    estimate, understating the analytic bound by up to 2^(n_bits-1)
+    candidate rows — and collapsing to 0 (declaring ANY budget
+    provably safe) whenever n_tables·masks·N² < 2^n_bits. The ceil
+    here keeps the bound a true upper bound at every size. The byte
+    constant is calibration, not proof — documented in
+    ``_MP_CANDIDATE_ROW_BYTES``; the bound inherits its validity
+    window. The measured clustered warehouse sat at 11.2x the model
+    — far inside this bound, which is exactly why the bound is only
+    useful as a SAFETY proof (worst ≤ budget ⇒ no distribution can
+    violate), never as a sizing estimate (chunking by it would
+    over-chunk uniform corpora ~2000x)."""
+    n_rows = max(input_bytes // _MP_EMB_ROW_BYTES(dim), 1)
+    n_masks = len(_probe_masks(n_bits, probe_radius))
+    worst_pairs = -(-(n_tables * n_masks * n_rows * n_rows) // 2)
+    return worst_pairs * _MP_CANDIDATE_ROW_BYTES
 
 
 def _mp_exact_candidate_count(
@@ -751,7 +766,15 @@ def _observed_shuffle_write_bytes(sc) -> int | None:
     bracket the shuffle volume of the jobs run between two calls;
     note the store evicts old stages past ``spark.ui.retainedStages``
     (default 1000), so deltas are only trusted while they stay
-    non-negative — the caller checks."""
+    non-negative — the caller checks.
+
+    SINGLE-WRITER CAVEAT (r9 verdict #4): this total is APP-WIDE —
+    a concurrent job from another thread in the same SparkSession
+    inflates a delta taken across its run. The feedback hook
+    therefore prefers ``_group_shuffle_write_bytes`` (deltas scoped
+    to the run's own job group); this app-wide reader remains the
+    fallback for callers without a group and for the Spark-free
+    tests."""
     try:
         store = sc._jsc.sc().statusStore()
         stages = store.stageList(
@@ -769,13 +792,63 @@ def _observed_shuffle_write_bytes(sc) -> int | None:
         return None
 
 
+def _group_shuffle_write_bytes(sc, group: str) -> int | None:
+    """Shuffle bytes WRITTEN by the stages of ``group``'s jobs only —
+    the job-group-scoped twin of ``_observed_shuffle_write_bytes``
+    (r9 verdict #4: the app-wide total makes the feedback hook's
+    deltas lie under concurrent jobs in the same SparkSession; the
+    eager chunked runner tags its passes with a fresh job group via
+    the ``spark.jobGroup.id`` local property and reads back only its
+    own stages, so a sibling job can no longer inflate a pass
+    reading). Jobs from other threads keep their own group (local
+    properties are thread-scoped) and are excluded by construction.
+    ``None`` when the status-store internals are unreachable — the
+    hook disarms, same contract as the app-wide reader. Eviction
+    still applies: a stage evicted past ``spark.ui.retainedStages``
+    drops out of the sum and the caller's negative-delta check
+    disarms the hook."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        stage_ids = set()
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            jg = j.jobGroup()
+            if jg.isDefined() and jg.get() == group:
+                sids = j.stageIds()
+                for s in range(sids.size()):
+                    stage_ids.add(sids.apply(s))
+        if not stage_ids:
+            return 0
+        stages = store.stageList(
+            None,
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        )
+        return sum(
+            stages.apply(i).shuffleWriteBytes()
+            for i in range(stages.size())
+            if stages.apply(i).stageId() in stage_ids
+        )
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
 # Last eager-chunked run's measured-vs-modeled sizing feedback (r8
 # verdict #1: the calibrated stream estimate is open-loop — this
 # closes it). Written by _ann_lsh_multiprobe_distinct after each
 # eager chunked run whose estimate was available: per-pass observed
-# shuffle-write bytes vs the estimate's slice, plus run totals. A
-# cluster operator (or a test) reads it to see how far reality
-# drifted from the model that sized the passes.
+# shuffle-write bytes vs the estimate's slice, plus run totals and
+# any mid-run re-sizes (r10). A cluster operator (or a test) reads
+# it to see how far reality drifted from the model that sized the
+# passes. SINGLE-WRITER CAVEAT (r9 verdict #4): module-level,
+# last-writer-wins — two multiprobe runs racing in one interpreter
+# leave only the later run's report here. The per-pass BYTE readings
+# themselves are safe under concurrency (job-group-scoped, see
+# _group_shuffle_write_bytes); only this post-hoc report slot is
+# last-writer-wins.
 LAST_MP_SIZING_REPORT: dict | None = None
 
 # Divergence band for the one-time runtime warning: the model's
@@ -786,6 +859,25 @@ LAST_MP_SIZING_REPORT: dict | None = None
 # un-warned run may size K wrong (under-chunk -> disk wall;
 # over-chunk -> the measured ~3x wall loss).
 MP_SIZING_DIVERGENCE_BAND = 4.0
+
+# Pilot-pass sizing for adaptive MODEL-sized chunked runs (r10, r9
+# verdict #1): when the estimate that sized the passes is the uniform
+# byte model WITHOUT the worst-case safety proof (the skew_factor
+# route under 'auto', or explicit sizing='model' past the bound), the
+# first pass is shrunk to tables_per_pass // MP_PILOT_DIVISOR tables
+# (>= 1) so the run measures the real per-table shuffle rate BEFORE
+# committing a full-size pass to an unproven estimate. Why it must be
+# the FIRST pass: re-sizing can only go finer, so a refuted estimate
+# discovered after a full-size pass has already paid that pass's
+# budget violation — the measured clustered drift (11.2x, NC=16)
+# would blow the first full pass ~5.6x under a 2x skew hedge, while
+# the 1/8 pilot stays inside the budget for any residual drift < 8x
+# and costs one extra pass barrier (~the fixed per-pass floor) on
+# corpora where the model was right. Data-sized runs skip the pilot:
+# the exact count already measured the corpus (per-pass feedback
+# ratios 0.85-1.05 on the clustered rungs), so the residual drift is
+# the byte constant's ~1.2x, not the bucket distribution's 11x.
+MP_PILOT_DIVISOR = 8
 
 # Below this per-pass volume the divergence warning stays silent
 # (the report still records): every pass pays a fixed shuffle floor —
@@ -804,33 +896,70 @@ class _MpSizingFeedback:
     #1): the sizer's constants are calibration, not physics — if the
     pool/word packing, probe shape, or vector compressibility drift,
     the model silently sizes K wrong until a job meets the disk wall.
-    This hook makes drift observable: snapshot the driver's
-    aggregated shuffle-write total before the run, re-read it at each
-    eager pass's materialization barrier, and compare the delta
-    against the estimate's slice for that pass. One RuntimeWarning
-    per run past ``MP_SIZING_DIVERGENCE_BAND`` (direction-specific
-    advice; suppressed below ``MP_SIZING_FEEDBACK_MIN_BYTES``, where
-    fixed per-pass floors the marginal constant never modeled
-    dominate), and the full per-pass record lands in
-    ``LAST_MP_SIZING_REPORT`` either way.
+    This hook makes drift observable: snapshot the shuffle-write
+    total before the run, re-read it at each eager pass's
+    materialization barrier, and compare the delta against the
+    estimate's slice for that pass. One RuntimeWarning per run past
+    ``MP_SIZING_DIVERGENCE_BAND`` (direction-specific advice;
+    suppressed below ``MP_SIZING_FEEDBACK_MIN_BYTES``, where fixed
+    per-pass floors the marginal constant never modeled dominate),
+    and the full per-pass record lands in ``LAST_MP_SIZING_REPORT``
+    either way.
+
+    When ``job_group`` is given, readings come from
+    ``_group_shuffle_write_bytes`` — deltas scoped to the run's own
+    jobs, immune to concurrent jobs in the same SparkSession (r9
+    verdict #4); without one, the app-wide total with its documented
+    single-writer caveat.
+
+    When ``disk_budget_bytes`` is given the hook is CORRECTIVE, not
+    just observable (r9 verdict #1): after each measured pass,
+    ``resize`` projects the measured worst per-table shuffle rate
+    over the next pass, and when that projection exceeds the budget
+    it re-derives K for the REMAINING table list from the measured
+    rate (``_mp_k_from_estimate`` — the same K rule the sizer used,
+    fed measurement instead of estimate). Mid-run re-sizes only ever
+    go FINER: the asymmetric loss stands (under-chunking risks the
+    unbounded disk wall, over-chunking costs the bounded ~3x), so a
+    low-reading rate never coarsens the plan. Passes below the
+    feedback floor contribute no rate — floor noise must not drive a
+    re-chunk.
 
     Disarms itself (never raises, never blocks the job) when the
     status store is unreachable or a delta goes negative (stage
     eviction past ``spark.ui.retainedStages`` rolled the total back —
     a stale reading is worse than none)."""
 
-    def __init__(self, sc, est_stream_bytes: int, n_tables: int):
+    def __init__(
+        self,
+        sc,
+        est_stream_bytes: int,
+        n_tables: int,
+        disk_budget_bytes: int | None = None,
+        job_group: str | None = None,
+        pilot_tables: int | None = None,
+    ):
         self._sc = sc
         self._est = est_stream_bytes
         self._n_tables = n_tables
+        self._budget = disk_budget_bytes
+        self._group = job_group
+        self._pilot = pilot_tables
         self._passes: list[dict] = []
+        self._resizes: list[dict] = []
         self._warned = False
-        self._base = _observed_shuffle_write_bytes(sc)
+        self._resize_warned = False
+        self._base = self._read()
+
+    def _read(self) -> int | None:
+        if self._group is not None:
+            return _group_shuffle_write_bytes(self._sc, self._group)
+        return _observed_shuffle_write_bytes(self._sc)
 
     def after_pass(self, tables_in_pass: int) -> None:
         if self._base is None:
             return
-        now = _observed_shuffle_write_bytes(self._sc)
+        now = self._read()
         if now is None or now < self._base:
             self._base = None
             return
@@ -888,6 +1017,77 @@ class _MpSizingFeedback:
             stacklevel=2,
         )
 
+    def resize(
+        self, remaining_tables: int, current_k: int
+    ) -> int | None:
+        """Re-derive ``tables_per_pass`` for the remaining table list
+        from the MEASURED per-table shuffle rate, or ``None`` to keep
+        the current K. Acts only when (a) the hook is corrective (a
+        consulted disk budget exists), (b) at least one measured pass
+        cleared the feedback floor (floor-dominated readings are not
+        evidence — see ``MP_SIZING_FEEDBACK_MIN_BYTES``), (c) the
+        worst measured rate projects the NEXT pass past the budget,
+        and (d) the re-derived K is strictly FINER. The worst (max)
+        per-table rate drives the projection — the same asymmetric
+        loss as the max() sizing combiner: a too-fine re-chunk costs
+        the bounded ~3x wall loss, a too-coarse one meets the disk
+        wall."""
+        if (
+            self._budget is None
+            or remaining_tables <= 0
+            or not self._passes
+        ):
+            return None
+        rates = [
+            p["observed_bytes"] / p["tables"]
+            for p in self._passes
+            if p["observed_bytes"] >= MP_SIZING_FEEDBACK_MIN_BYTES
+        ]
+        if not rates:
+            return None
+        rate = max(rates)
+        next_pass = rate * min(current_k, remaining_tables)
+        if next_pass <= self._budget:
+            return None
+        new_k = _mp_k_from_estimate(
+            int(rate * remaining_tables) + 1,
+            remaining_tables,
+            self._budget,
+        )
+        if new_k is None or new_k >= current_k:
+            # remaining_tables == 1 cannot be subdivided; a measured
+            # rate can never COARSEN the plan mid-run
+            return None
+        self._resizes.append(
+            {
+                "after_pass": len(self._passes),
+                "measured_bytes_per_table": int(rate),
+                "old_tables_per_pass": current_k,
+                "new_tables_per_pass": new_k,
+                "remaining_tables": remaining_tables,
+            }
+        )
+        if not self._resize_warned:
+            self._resize_warned = True
+            import warnings
+
+            warnings.warn(
+                "multiprobe adaptive re-sizing: measured "
+                f"{int(rate)} B/table over {len(self._passes)} "
+                f"pass(es) projects the next {current_k}-table pass "
+                f"to {int(next_pass)} B, past the "
+                f"{self._budget} B disk budget — re-chunking the "
+                f"remaining {remaining_tables} tables to "
+                f"tables_per_pass={new_k} so the budget holds on "
+                "this corpus instead of finishing on the refuted "
+                "estimate. Details: "
+                "canadiannewsdatapipeline_spark.operators."
+                "similarity.LAST_MP_SIZING_REPORT['resizes'].",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return new_k
+
     def finish(self) -> None:
         if not self._passes:
             return
@@ -903,6 +1103,11 @@ class _MpSizingFeedback:
             "ratio_total": round(tot_obs / tot_est, 3) if tot_est else None,
             "divergence_band": MP_SIZING_DIVERGENCE_BAND,
             "warned": self._warned,
+            "disk_budget_bytes": self._budget,
+            "adaptive": self._budget is not None,
+            "pilot_tables": self._pilot,
+            "resizes": self._resizes,
+            "job_group_scoped": self._group is not None,
         }
 
 
@@ -1026,6 +1231,8 @@ def _ann_lsh_multiprobe_distinct(
     tables_per_pass: int | None = None,
     eager_passes: bool = False,
     est_stream_bytes: int | None = None,
+    disk_budget_bytes: int | None = None,
+    pilot_tables: int | None = None,
 ) -> DataFrame:
     """Bit-pool multi-probe sign-LSH over ALREADY-DISTINCT vectors.
 
@@ -1294,47 +1501,83 @@ def _ann_lsh_multiprobe_distinct(
     has_reliable_dir = (
         eager_passes and sc._jsc.sc().getCheckpointDir().isDefined()
     )
-    chunks = [
-        (lo, min(lo + tables_per_pass, n_tables))
-        for lo in range(0, n_tables, tables_per_pass)
-    ]
     # Runtime sizing feedback (r8 verdict #1): the eager barrier after
     # each pass is the natural point to read back what the pass
     # ACTUALLY shuffled and compare it to the estimate that sized the
-    # passes — see _mp_sizing_feedback. Armed only when eager (lazy
+    # passes — see _MpSizingFeedback. Armed only when eager (lazy
     # chunking has no barrier to measure at) and an estimate exists.
-    feedback = (
-        _MpSizingFeedback(sc, est_stream_bytes, n_tables)
-        if eager_passes and est_stream_bytes
-        else None
-    )
-    parts: list[DataFrame] = []
-    for lo, hi in chunks:
-        part = pass_pairs(
-            homes.filter((F.col("tbl") >= lo) & (F.col("tbl") < hi))
+    # Readings are scoped to a fresh job group (r9 verdict #4): the
+    # spark.jobGroup.id LOCAL property tags this thread's pass jobs,
+    # so a concurrent job in the same SparkSession can neither
+    # inflate a pass delta nor trigger a spurious divergence warning
+    # or re-size. When the auto-sizer consulted a disk budget, the
+    # hook is also CORRECTIVE (r9 verdict #1): measured per-table
+    # rates that refute the estimate re-chunk the REMAINING passes
+    # finer mid-run — see _MpSizingFeedback.resize and the pilot-pass
+    # comment at MP_PILOT_DIVISOR.
+    feedback = None
+    group = None
+    prev_group = None
+    if eager_passes and est_stream_bytes:
+        import uuid as _uuid
+
+        group = f"cndp-mp-sizing-{_uuid.uuid4().hex[:12]}"
+        prev_group = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setLocalProperty("spark.jobGroup.id", group)
+        feedback = _MpSizingFeedback(
+            sc,
+            est_stream_bytes,
+            n_tables,
+            disk_budget_bytes=disk_budget_bytes,
+            job_group=group,
+            pilot_tables=pilot_tables,
         )
-        if eager_passes:
-            if has_reliable_dir:
-                # Measured cost of the reliable tier at fresh-x30
-                # (SCALE.md §Round-8): 691.1 s vs 526.3 s for
-                # localCheckpoint, same 29.7 GB shuffle peak, ~44 MB
-                # of checkpoint files for the whole run. The textbook
-                # persist-before-checkpoint mitigation for RDD
-                # doCheckpoint recomputation was tried and measured
-                # WORSE here (772.9 s) — the pass outputs are tiny,
-                # so the double walk is not the dominant term; keep
-                # the simple form.
-                part = part.checkpoint(eager=True)
-            else:
-                part = part.localCheckpoint(eager=True)
-            # drop py4j refs to the pre-checkpoint plan, then nudge the
-            # JVM so ContextCleaner reclaims the pass's shuffle files
-            # before the next pass starts writing its own
-            _gc.collect()
-            sc._jvm.System.gc()
-            if feedback is not None:
-                feedback.after_pass(hi - lo)
-        parts.append(part)
+    parts: list[DataFrame] = []
+    try:
+        lo = 0
+        k_cur = tables_per_pass
+        first = True
+        while lo < n_tables:
+            size = (
+                pilot_tables
+                if (first and pilot_tables and feedback is not None)
+                else k_cur
+            )
+            first = False
+            hi = min(lo + size, n_tables)
+            part = pass_pairs(
+                homes.filter((F.col("tbl") >= lo) & (F.col("tbl") < hi))
+            )
+            if eager_passes:
+                if has_reliable_dir:
+                    # Measured cost of the reliable tier at fresh-x30
+                    # (SCALE.md §Round-8): 691.1 s vs 526.3 s for
+                    # localCheckpoint, same 29.7 GB shuffle peak,
+                    # ~44 MB of checkpoint files for the whole run.
+                    # The textbook persist-before-checkpoint
+                    # mitigation for RDD doCheckpoint recomputation
+                    # was tried and measured WORSE here (772.9 s) —
+                    # the pass outputs are tiny, so the double walk is
+                    # not the dominant term; keep the simple form.
+                    part = part.checkpoint(eager=True)
+                else:
+                    part = part.localCheckpoint(eager=True)
+                # drop py4j refs to the pre-checkpoint plan, then
+                # nudge the JVM so ContextCleaner reclaims the pass's
+                # shuffle files before the next pass starts writing
+                # its own
+                _gc.collect()
+                sc._jvm.System.gc()
+                if feedback is not None:
+                    feedback.after_pass(hi - lo)
+                    new_k = feedback.resize(n_tables - hi, k_cur)
+                    if new_k is not None:
+                        k_cur = new_k
+            parts.append(part)
+            lo = hi
+    finally:
+        if group is not None:
+            sc.setLocalProperty("spark.jobGroup.id", prev_group)
     if feedback is not None:
         feedback.finish()
     out = parts[0]
@@ -1404,7 +1647,16 @@ def _mp_resolve_mode(
     - ``eager_passes=True`` where the sizer picked single-pass warns
       with ADVICE THE CALLER CAN FOLLOW: "pass tables_per_pass=K"
       when the stream simply fits, "increase n_tables" when a
-      1-table list cannot be subdivided."""
+      1-table list cannot be subdivided.
+
+    r10 fields: ``adaptive`` (a consulted budget + eager chunked
+    passes arm mid-run corrective re-sizing — measured per-table
+    rates that refute the estimate re-chunk the remaining passes
+    finer, see ``_MpSizingFeedback.resize``) and ``pilot_tables``
+    (model-sized adaptive runs lead with a 1/8-size calibration pass
+    so the refutation arrives BEFORE a full-size pass pays the
+    violation — ``MP_PILOT_DIVISOR``; None on data-sized runs, whose
+    estimate already measured the corpus)."""
     import warnings
 
     if tables_per_pass is not None and tables_per_pass < 1:
@@ -1493,6 +1745,7 @@ def _mp_resolve_mode(
         if input_bytes is None:
             input_bytes = _plan_size_bytes(emb)
         unknown_size = input_bytes >= PLAN_SIZE_UNKNOWN
+        skew_from_conf = False
         if sizing != "data" and skew_factor is None:
             # resolved before routing: under 'auto' an explicit skew
             # factor (arg or conf) is the caller asserting knowledge
@@ -1509,6 +1762,7 @@ def _mp_resolve_mode(
                         "spark.cndp.mp.skewFactor must be a float, "
                         f"got {raw!r}"
                     ) from None
+                skew_from_conf = True
         sizing_effective = sizing
         auto_model_floor: int | None = None
         if sizing == "auto":
@@ -1523,6 +1777,28 @@ def _mp_resolve_mode(
             # a 2 GiB budget 3.05x; data-sized held every rung).
             if skew_factor is not None:
                 sizing_effective = "model"
+                if skew_from_conf:
+                    # r9 advice: a cluster-wide conf set in the r8 era
+                    # (when skew_factor was the ONLY skew defense)
+                    # would otherwise silently disable the r9
+                    # skew-safe count routing for every zero-knob
+                    # caller on the cluster — say so once per call
+                    warnings.warn(
+                        "spark.cndp.mp.skewFactor="
+                        f"{skew_factor} (session conf) is routing "
+                        "sizing='auto' to the zero-job MODEL path: "
+                        "the skew-safe exact-count routing is "
+                        "disabled for this call. The measured "
+                        "clustered under-estimate was 11.2x — if the "
+                        "conf's factor hedges less than your "
+                        "corpus's real skew, the disk budget can "
+                        "still be violated. Unset the conf (or pass "
+                        "sizing='data') to restore the count "
+                        "routing; pass skew_factor explicitly to "
+                        "silence this warning.",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
             elif unknown_size:
                 # the count needs no Catalyst stats — strictly more
                 # information than declining (the 'model' sentinel
@@ -1533,7 +1809,7 @@ def _mp_resolve_mode(
                     input_bytes, dim, n_tables, n_bits, probe_radius
                 )
                 model_worst_case = _mp_model_worst_case_bytes(
-                    model_raw, n_bits
+                    input_bytes, dim, n_tables, n_bits, probe_radius
                 )
                 if model_worst_case <= disk_budget_bytes:
                     sizing_effective = "model"
@@ -1672,7 +1948,26 @@ def _mp_resolve_mode(
     if eager_passes is None:
         eager_passes = False
     chunked = tables_per_pass is not None and tables_per_pass < n_tables
-    n_passes = -(-n_tables // tables_per_pass) if chunked else 1
+    # Adaptive mid-run re-sizing (r10, r9 verdict #1): armed whenever
+    # the auto-sizer consulted a budget and eager chunked passes will
+    # run — the runtime feedback then CORRECTS the plan (finer only)
+    # when measured per-table bytes refute the estimate, instead of
+    # finishing on it. Model-sized runs additionally lead with a
+    # calibration pilot pass (see MP_PILOT_DIVISOR) because their
+    # estimate carries no safety proof.
+    adaptive = budget_consulted and eager_passes and chunked
+    pilot_tables: int | None = None
+    if adaptive and est_source == "model":
+        pilot_tables = max(1, tables_per_pass // MP_PILOT_DIVISOR)
+        if pilot_tables >= tables_per_pass:
+            pilot_tables = None
+    if chunked:
+        rest = n_tables - (pilot_tables or 0)
+        n_passes = -(-rest // tables_per_pass) + (
+            1 if pilot_tables else 0
+        )
+    else:
+        n_passes = 1
     if broadcast_corpus:
         regime = "broadcast"
         est_pass_bytes = None
@@ -1703,6 +1998,8 @@ def _mp_resolve_mode(
         "n_passes": n_passes,
         "eager_passes": eager_passes,
         "est_pass_bytes": est_pass_bytes,
+        "adaptive": adaptive,
+        "pilot_tables": pilot_tables,
     }
 
 
@@ -1743,8 +2040,11 @@ def mp_mode_report(
     ``model_worst_case_bytes`` (the concentration bound 'auto' routed
     on, when computed), ``skew_factor`` (as applied),
     ``disk_budget_bytes`` + ``budget_consulted``, resolved
-    ``tables_per_pass`` / ``n_passes`` / ``eager_passes``, and
-    ``est_pass_bytes`` (the per-pass stream the disk budget bounds).
+    ``tables_per_pass`` / ``n_passes`` / ``eager_passes``,
+    ``est_pass_bytes`` (the per-pass stream the disk budget bounds),
+    and the r10 adaptivity fields ``adaptive`` / ``pilot_tables``
+    (mid-run corrective re-sizing and the model-path calibration
+    pilot — see ``_mp_resolve_mode``).
 
     This calls the SAME ``_mp_resolve_mode`` the operator calls — it
     cannot drift — including its validation: a knob combination the
@@ -1898,17 +2198,29 @@ def ann_lsh_multiprobe_pairs(
     to 3.05x on the clustered warehouse while data-sized runs held
     every rung, SCALE_LADDER_SKEW_r09.json).
 
-    **Runtime sizing feedback (r8 verdict #1)**: whichever estimate
-    sized the passes is open-loop calibration, not physics — so when
-    eager chunked passes run, each pass's actual shuffle-write bytes
-    (driver-aggregated task metrics, cluster-valid) are compared
-    against the estimate's slice; on >4x divergence either way a
-    one-time ``RuntimeWarning`` reports the measured-vs-modeled
+    **Runtime sizing feedback (r8 verdict #1), now corrective
+    (r10)**: whichever estimate sized the passes is open-loop
+    calibration, not physics — so when eager chunked passes run,
+    each pass's actual shuffle-write bytes (driver-aggregated task
+    metrics, scoped to the run's own job group so concurrent jobs in
+    the session cannot contaminate a reading — cluster-valid) are
+    compared against the estimate's slice; on >4x divergence either
+    way a one-time ``RuntimeWarning`` reports the measured-vs-modeled
     ratio and the knob to turn (``disk_budget_bytes`` /
     ``skew_factor`` / ``sizing='data'``), and every run writes the
     per-pass numbers to the module-level ``LAST_MP_SIZING_REPORT``
-    for post-hoc audit. Use ``mp_mode_report`` to see the whole
-    resolution without running anything."""
+    for post-hoc audit. When the auto-sizer consulted the disk
+    budget, the feedback additionally ACTS (r9 verdict #1): a
+    measured per-table rate that projects the next pass past the
+    budget re-chunks the REMAINING passes finer mid-run (never
+    coarser — the asymmetric loss stands), and model-sized runs lead
+    with a 1/8-size calibration pilot pass so the refutation arrives
+    before any full-size pass pays the violation
+    (``MP_PILOT_DIVISOR``; measured: the skew_factor=2-hedged model
+    run on the clustered x3 warehouse finishes within the 2 GiB
+    budget where finishing on the estimate violated it). Use
+    ``mp_mode_report`` to see the whole resolution without running
+    anything."""
     res = _mp_resolve_mode(
         emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
         broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,
@@ -1934,6 +2246,10 @@ def ann_lsh_multiprobe_pairs(
             tables_per_pass=res["tables_per_pass"],
             eager_passes=res["eager_passes"],
             est_stream_bytes=res["est_stream_bytes"],
+            disk_budget_bytes=(
+                res["disk_budget_bytes"] if res["adaptive"] else None
+            ),
+            pilot_tables=res["pilot_tables"],
         ),
     )
 

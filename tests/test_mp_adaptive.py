@@ -1,0 +1,402 @@
+"""Round-10 multiprobe additions: the sizing feedback becomes
+CORRECTIVE, and its readings become concurrency-safe.
+
+1. **Adaptive mid-run re-sizing** (r9 verdict #1): when the
+   auto-sizer consulted a disk budget and eager chunked passes run,
+   a measured per-table shuffle rate that projects the next pass past
+   the budget re-derives K for the REMAINING table list — finer only,
+   never coarser (the asymmetric loss stands). Model-sized runs lead
+   with a 1/8-size calibration pilot pass so the refutation arrives
+   before a full-size pass pays the violation (the measured clustered
+   drift is 11.2x — any full first pass under a 2-3x skew hedge
+   already blows the budget).
+
+2. **Job-group-scoped readings** (r9 verdict #4): pass deltas come
+   from the run's own job group (``_group_shuffle_write_bytes``), so
+   a concurrent job in the same SparkSession can neither inflate a
+   reading nor trigger a spurious warning or re-size.
+
+3. **r9 advice items**: the worst-case concentration bound computed
+   from the UNFLOORED product (no collapse to 0 at tiny N), and the
+   conf-derived-skew_factor warning under ``sizing='auto'``.
+"""
+
+from __future__ import annotations
+
+import warnings as _warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+import canadiannewsdatapipeline_spark.operators.similarity as sim
+from canadiannewsdatapipeline_spark.operators.similarity import (
+    _mp_k_from_estimate,
+    _mp_model_worst_case_bytes,
+    _MpSizingFeedback,
+    ann_lsh_multiprobe_pairs,
+    mp_mode_report,
+)
+from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESHOLD = 0.4
+MB = 1024 * 1024
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _fake_group_tracker(monkeypatch, readings):
+    it = iter(readings)
+    monkeypatch.setattr(
+        sim, "_group_shuffle_write_bytes", lambda sc, group: next(it)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. resize() — Spark-free decision pins (faked pass readings)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_triggers_on_measured_drift(monkeypatch):
+    """A measured rate that projects the next pass past the budget
+    must re-chunk the remaining tables with the SAME K rule the sizer
+    used, fed the measurement — and warn once, naming the numbers."""
+    budget = 256 * MB
+    # pilot pass of 2 tables observed at 200 MB -> 100 MB/table;
+    # the next 8-table pass projects to 800 MB >> 256 MB budget
+    _fake_group_tracker(monkeypatch, [0, 200 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=100 * MB, n_tables=32,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(2)
+    with pytest.warns(RuntimeWarning, match="adaptive re-sizing"):
+        new_k = fb.resize(remaining_tables=30, current_k=8)
+    # est_remaining = 30 * 100 MB = 3000 MB -> 12 passes -> K = 3
+    assert new_k == _mp_k_from_estimate(
+        30 * 100 * MB + 1, 30, budget
+    ) == 3
+    fb.finish()
+    rep = sim.LAST_MP_SIZING_REPORT
+    assert rep["adaptive"] is True
+    assert rep["disk_budget_bytes"] == budget
+    assert rep["resizes"] == [
+        {
+            "after_pass": 1,
+            "measured_bytes_per_table": 100 * MB,
+            "old_tables_per_pass": 8,
+            "new_tables_per_pass": 3,
+            "remaining_tables": 30,
+        }
+    ]
+
+
+def test_resize_never_coarsens(monkeypatch):
+    """A LOW measured rate (over-chunked run) must not re-chunk
+    coarser: the worst case of staying fine is the bounded ~3x wall
+    loss, the worst case of coarsening on a lucky pass is the disk
+    wall."""
+    budget = 256 * MB
+    _fake_group_tracker(monkeypatch, [0, 70 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=4000 * MB, n_tables=32,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(4)  # 17.5 MB/table: next 4-table pass fits easily
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert fb.resize(remaining_tables=28, current_k=4) is None
+
+
+def test_resize_ignores_floor_noise(monkeypatch):
+    """Passes below MP_SIZING_FEEDBACK_MIN_BYTES are fixed-floor
+    dominated (measured: ~0.9 MB floor on sf0.001 passes) — their
+    apparent per-table rate is not evidence and must not re-chunk."""
+    budget = 1 * MB
+    _fake_group_tracker(monkeypatch, [0, 2 * MB, 3 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=1 * MB, n_tables=32,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(1)
+    fb.after_pass(1)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        # 2 MB/table vs a 1 MB budget LOOKS like it must re-chunk,
+        # but both passes sit under the 64 MiB feedback floor
+        assert fb.resize(remaining_tables=30, current_k=4) is None
+
+
+def test_resize_inert_without_budget(monkeypatch):
+    """No consulted budget (explicit tables_per_pass, or a plain
+    observability run) -> the hook stays advisory-only."""
+    _fake_group_tracker(monkeypatch, [0, 500 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=100 * MB, n_tables=32, job_group="g",
+    )
+    fb.after_pass(2)
+    assert fb.resize(remaining_tables=30, current_k=8) is None
+    fb.finish()
+    assert sim.LAST_MP_SIZING_REPORT["adaptive"] is False
+    assert sim.LAST_MP_SIZING_REPORT["resizes"] == []
+
+
+def test_resize_cannot_subdivide_single_table(monkeypatch):
+    """remaining_tables=1 cannot be split: resize declines even under
+    measured drift (the K rule's n_tables=1 contract)."""
+    _fake_group_tracker(monkeypatch, [0, 500 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=100 * MB, n_tables=32,
+        disk_budget_bytes=64 * MB, job_group="g",
+    )
+    fb.after_pass(2)
+    assert fb.resize(remaining_tables=1, current_k=2) is None
+
+
+# ---------------------------------------------------------------------------
+# 2. job-group scoping — concurrency-safe readings (r9 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_group_scoped_hook_ignores_foreign_shuffle(monkeypatch):
+    """The r9 app-wide reader would attribute a concurrent job's
+    shuffle to the pass and warn/re-size on garbage. With a job
+    group, the hook must read ONLY the group total: fake an app-wide
+    total that explodes while the group total stays calm — no
+    warning, no resize, group numbers in the report."""
+    # app-wide total contaminated by a concurrent job: must never be
+    # consulted when a group is given
+    monkeypatch.setattr(
+        sim,
+        "_observed_shuffle_write_bytes",
+        lambda sc: pytest.fail(
+            "group-scoped hook consulted the app-wide reader"
+        ),
+    )
+    _fake_group_tracker(monkeypatch, [0, 100 * MB, 200 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=400 * MB, n_tables=8,
+        disk_budget_bytes=110 * MB, job_group="run-1",
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        fb.after_pass(4)
+        assert fb.resize(remaining_tables=4, current_k=4) is None
+        fb.after_pass(4)
+    fb.finish()
+    rep = sim.LAST_MP_SIZING_REPORT
+    assert rep["job_group_scoped"] is True
+    assert rep["observed_total_bytes"] == 200 * MB
+    assert rep["warned"] is False
+
+
+def test_group_shuffle_bytes_excludes_foreign_jobs(spark):
+    """Real-Spark pin of the scoping claim: shuffle run under group G
+    is counted; a foreign job's shuffle (no group) must not move G's
+    total."""
+    sc = spark.sparkContext
+    group = "test-scope-group-xyz"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        spark.range(200_000).withColumn(
+            "k", F.col("id") % 7
+        ).groupBy("k").count().collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+    mine = sim._group_shuffle_write_bytes(sc, group)
+    assert mine is not None and mine > 0
+    # foreign shuffle, different (absent) group
+    spark.range(300_000).withColumn(
+        "k", F.col("id") % 5
+    ).groupBy("k").count().collect()
+    assert sim._group_shuffle_write_bytes(sc, group) == mine
+    appwide = sim._observed_shuffle_write_bytes(sc)
+    assert appwide is not None and appwide > mine
+
+
+# ---------------------------------------------------------------------------
+# 3. resolution: adaptive + pilot fields (one code path with the
+#    operator — mp_mode_report shows what the run will do)
+# ---------------------------------------------------------------------------
+
+
+def test_resolution_pilot_on_skew_routed_model_sizing(emb):
+    """skew_factor routes 'auto' to the model path; if that chunks,
+    the estimate is UNPROVEN (the worst-case bound was never checked
+    against the budget) — the plan must lead with the 1/8 calibration
+    pilot."""
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=8 * MB, skew_factor=2.0,
+    )
+    assert rep["regime"] == "chunked-shuffle"
+    assert rep["est_source"] == "model"
+    assert rep["adaptive"] is True
+    k = rep["tables_per_pass"]
+    assert rep["pilot_tables"] == max(1, k // sim.MP_PILOT_DIVISOR)
+    assert rep["pilot_tables"] < k
+    # pass count includes the pilot
+    rest = 160 - rep["pilot_tables"]
+    assert rep["n_passes"] == -(-rest // k) + 1
+
+
+def test_resolution_no_pilot_on_data_sizing(emb, monkeypatch):
+    """Data-sized chunked runs measured the corpus already (exact
+    count): adaptive re-sizing stays armed, but no pilot — the
+    residual drift is the ~1.2x byte constant, not the 11x bucket
+    distribution."""
+    monkeypatch.setattr(
+        sim, "_mp_exact_candidate_count", lambda *a, **kw: 10_000_000
+    )
+    rep = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=16 * MB,
+    )
+    assert rep["regime"] == "chunked-shuffle"
+    assert rep["est_source"] == "data"
+    assert rep["adaptive"] is True
+    assert rep["pilot_tables"] is None
+
+
+def test_resolution_not_adaptive_with_explicit_k(emb):
+    """An explicit tables_per_pass never consulted the budget: the
+    run must not re-size itself against a budget the caller didn't
+    give the sizer."""
+    with pytest.warns(RuntimeWarning, match="not.*consulted|consulted"):
+        rep = mp_mode_report(
+            emb, "vec_id", "embedding", broadcast_corpus=False,
+            tables_per_pass=3, eager_passes=True,
+            disk_budget_bytes=8 * MB,
+        )
+    assert rep["adaptive"] is False
+    assert rep["pilot_tables"] is None
+
+
+# ---------------------------------------------------------------------------
+# 4. executor end-to-end: the loop actually re-chunks, output exact
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_run_rechunks_and_stays_exact(emb, monkeypatch):
+    """Drive the REAL chunked executor through a pilot + mid-run
+    re-size with deterministic faked readings (10 MB/table against an
+    8 MB budget) and assert (a) the pass ledger shows pilot -> resize
+    -> finer passes, (b) the output stays bit-identical to the
+    broadcast reference — re-chunking must never change WHAT is
+    computed, only how it is sliced."""
+    args = dict(pool=252, n_bits=12, n_tables=8, probe_radius=1,
+                hamming_max=112)
+    want = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", THRESHOLD, **args
+        ).collect()
+    }
+    # sf0.001 model est at 8 tables ~0.85 MB x skew 2 = ~1.7 MB vs a
+    # 512 KB budget -> 4 passes -> K=2, pilot=1. Faked group
+    # readings: 10 MB per table processed (cumulative), floor
+    # lowered so tiny real passes don't mask the fake.
+    budget = 512 * 1024
+    plan = mp_mode_report(
+        emb, "vec_id", "embedding", broadcast_corpus=False,
+        disk_budget_bytes=budget, skew_factor=2.0, n_tables=8,
+    )
+    assert plan["regime"] == "chunked-shuffle"
+    assert plan["pilot_tables"] == 1
+    assert plan["tables_per_pass"] == 2
+    monkeypatch.setattr(sim, "MP_SIZING_FEEDBACK_MIN_BYTES", 1 * MB)
+    state = {"tables": 0}
+    orig_filter = {}
+
+    def fake_read(sc, group):
+        return state["tables"] * 10 * MB
+
+    monkeypatch.setattr(sim, "_group_shuffle_write_bytes", fake_read)
+    # count tables per pass by intercepting the feedback barrier
+    orig_after = sim._MpSizingFeedback.after_pass
+
+    def counting_after(self, tables_in_pass):
+        state["tables"] += tables_in_pass
+        return orig_after(self, tables_in_pass)
+
+    monkeypatch.setattr(sim._MpSizingFeedback, "after_pass", counting_after)
+    del orig_filter
+    sim.LAST_MP_SIZING_REPORT = None
+    with pytest.warns(RuntimeWarning, match="adaptive re-sizing"):
+        got = {
+            tuple(r)
+            for r in ann_lsh_multiprobe_pairs(
+                emb, "vec_id", "embedding", THRESHOLD, **args,
+                broadcast_corpus=False, disk_budget_bytes=budget,
+                skew_factor=2.0,
+            ).collect()
+        }
+    assert got == want and len(got) > 0
+    rep = sim.LAST_MP_SIZING_REPORT
+    assert rep["adaptive"] is True
+    assert rep["pilot_tables"] == 1
+    # pilot measured 10 MB/table -> next 2-table pass projects 20 MB
+    # > 512 KB -> re-chunk remaining 7 tables to K=1
+    assert rep["resizes"][0]["after_pass"] == 1
+    assert rep["resizes"][0]["old_tables_per_pass"] == 2
+    assert rep["resizes"][0]["new_tables_per_pass"] == 1
+    assert [p["tables"] for p in rep["passes"]] == [1] * 8
+    assert rep["job_group_scoped"] is True
+
+
+# ---------------------------------------------------------------------------
+# 5. r9 advice items
+# ---------------------------------------------------------------------------
+
+
+def test_worst_case_bound_no_floor_collapse():
+    """The old bound re-expanded the floored model estimate and read
+    0 (any budget 'provably safe') whenever T*M*N^2 < 2^n_bits; the
+    r10 unfloored form stays a true upper bound at every size."""
+    # one row: T*M*N^2 = 160*13 = 2080 < 4096 = 2^12
+    tiny = _mp_model_worst_case_bytes(
+        input_bytes=1, dim=64, n_tables=160, n_bits=12, probe_radius=1
+    )
+    assert tiny == -(-(160 * 13) // 2) * sim._MP_CANDIDATE_ROW_BYTES
+    assert tiny > 0
+
+
+def test_worst_case_bound_dominates_model_estimate():
+    """worst >= model_est << (n_bits - 1) for any inputs — the
+    unfloored product can only raise the bound."""
+    for input_bytes in (1, 10_000, 5 * MB, 500 * MB):
+        model = sim._mp_candidate_stream_bytes(
+            input_bytes, 64, 160, 12, 1
+        )
+        worst = _mp_model_worst_case_bytes(input_bytes, 64, 160, 12, 1)
+        assert worst >= model << 11
+
+
+def test_conf_skew_factor_warns_under_auto(emb):
+    """An r8-era cluster conf (spark.cndp.mp.skewFactor) silently
+    routed 'auto' off the skew-safe count path; r10 says so out loud
+    (an explicit arg stays silent — the caller just asserted it)."""
+    spark = emb.sparkSession
+    spark.conf.set("spark.cndp.mp.skewFactor", "3.0")
+    try:
+        with pytest.warns(RuntimeWarning, match="skewFactor.*session conf"):
+            rep = mp_mode_report(
+                emb, "vec_id", "embedding", broadcast_corpus=False,
+                disk_budget_bytes=16 * MB,
+            )
+        assert rep["sizing_effective"] == "model"
+        assert rep["skew_factor"] == 3.0
+    finally:
+        spark.conf.unset("spark.cndp.mp.skewFactor")
+    # explicit argument: no conf warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        rep = mp_mode_report(
+            emb, "vec_id", "embedding", broadcast_corpus=False,
+            disk_budget_bytes=16 * MB, skew_factor=3.0,
+        )
+    assert rep["skew_factor"] == 3.0

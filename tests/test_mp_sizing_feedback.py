@@ -228,9 +228,13 @@ def test_mode_report_single_pass_shuffle(emb):
     assert rep["sizing_effective"] == "data"
     assert rep["est_source"] == "data+model-floor"
     assert rep["est_exact_bytes"] < rep["est_stream_bytes"]
-    assert rep["est_stream_bytes"] == (
-        rep["model_worst_case_bytes"] >> 11  # the model est it floored to
-    )
+    # r10: the bound is computed from the UNFLOORED product (ceil of
+    # T*M*N^2/2 candidate rows), so it is >= the model est << (k-1)
+    # and within one floored 2^(k-1) slop of it
+    assert rep["model_worst_case_bytes"] >= rep["est_stream_bytes"] << 11
+    assert rep["model_worst_case_bytes"] < (
+        (rep["est_stream_bytes"] + sim._MP_CANDIDATE_ROW_BYTES) << 11
+    ) + sim._MP_CANDIDATE_ROW_BYTES
     assert rep["model_worst_case_bytes"] > rep["disk_budget_bytes"]
     assert rep["budget_consulted"] is True
     assert rep["est_stream_bytes"] <= rep["disk_budget_bytes"]
@@ -558,9 +562,9 @@ def test_auto_routes_to_model_when_provably_safe(emb, monkeypatch):
     )
     assert rep["sizing_effective"] == "model"
     assert rep["est_source"] == "model"
-    assert rep["model_worst_case_bytes"] == (
-        rep["est_stream_bytes"] << 11  # n_bits=12 -> 2^(k-1)
-    )
+    # r10 unfloored bound: ceil(T*M*N^2/2)*70 — at least the model
+    # est * 2^(k-1), never more than a floored-slop above it
+    assert rep["model_worst_case_bytes"] >= rep["est_stream_bytes"] << 11
     assert rep["model_worst_case_bytes"] <= budget
     assert rep["regime"] == "single-pass-shuffle"
     assert rep["skew_factor"] == 1.0
@@ -697,13 +701,15 @@ def test_auto_routing_reproduces_the_r9_skew_rungs():
     budget (3x54, 7x23)."""
     from canadiannewsdatapipeline_spark.operators.similarity import (
         _mp_k_from_estimate,
-        _mp_model_worst_case_bytes,
     )
 
     budget = 2 * 1024**3
     for model_est in (528_811_220, 1_189_208_440):
         assert model_est <= budget  # what fooled the model-sized runs
-        assert _mp_model_worst_case_bytes(model_est, 12) > budget
+        # the r10 unfloored worst-case bound is >= the floored-shift
+        # form (model_est << (k-1)), so showing THAT already exceeds
+        # the budget pins the routing refusal for the new bound too
+        assert (model_est << 11) > budget
     # the max() combiner keeps the (larger) exact counts here, and
     # they chunk to the K values whose runs held the budget
     assert _mp_k_from_estimate(
