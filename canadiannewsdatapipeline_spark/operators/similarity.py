@@ -628,6 +628,28 @@ def _mp_auto_tables_per_pass(
     return _mp_k_from_estimate(est, n_tables, disk_budget_bytes)
 
 
+# Byte-drift guard at the SINGLE-PASS decision boundary (r10,
+# measured on the NC skew-curve sweep, SCALE_LADDER_SKEW_CURVE_r10):
+# every estimate — even the EXACT candidate count — converts rows to
+# bytes through the calibrated ~70 B/candidate constant, and the true
+# bytes-per-candidate drifts with the Hamming-screen pass fraction
+# (screen survivors carry ~1 KB vector attaches the aggregate slope
+# absorbed at its calibration point). Measured observed/estimate on
+# the 2 GiB-budget clustered curve: 1.03 at NC=16, 1.56 at NC=64,
+# 1.42 at NC=256, 1.64 at NC=1024 — at NC=256 the exact count
+# (1.59 GB) fit the budget, single-pass was chosen, and the true
+# stream (2.26 GB) violated it with nothing left to re-size. The
+# guard refuses single-pass when est * 1.7 exceeds the budget: runs
+# in the narrow edge zone [budget/1.7, budget] pay a minimal 2-pass
+# chunk (which the pilot + mid-run re-sizing then keep inside the
+# budget) instead of risking the measured <=1.64x bounded breach.
+# Interior K (est > budget) is unchanged — the r9 measured-best
+# combiner points (4x40 / 7x23 / 3x54) all sit there, and per-pass
+# drift inside chunked runs is the pilot/resize's job, not a static
+# multiplier's.
+MP_BYTE_DRIFT_GUARD = 1.7
+
+
 def _mp_k_from_estimate(
     est: int, n_tables: int, disk_budget_bytes: int
 ) -> int | None:
@@ -635,10 +657,16 @@ def _mp_k_from_estimate(
     open-loop byte model, the model x a skew factor, or the exact
     data-driven candidate count — r9): K = ceil(n_tables /
     ceil(est / budget)), or ``None`` (single-pass) when the stream
-    fits or chunking cannot subdivide the table list."""
-    if est <= disk_budget_bytes:
+    fits WITH the byte-drift guard's headroom
+    (``MP_BYTE_DRIFT_GUARD`` — r10: estimates inside
+    [budget/guard, budget] chunk minimally instead of risking the
+    measured bounded breach) or chunking cannot subdivide the table
+    list."""
+    if est * MP_BYTE_DRIFT_GUARD <= disk_budget_bytes:
         return None
-    n_passes = min(-(-est // disk_budget_bytes), n_tables)
+    n_passes = min(
+        max(-(-est // disk_budget_bytes), 2), n_tables
+    )
     if n_passes <= 1:
         # n_tables == 1: chunking cannot subdivide the table list, so
         # single-pass is the only plan regardless of the estimate
@@ -860,23 +888,25 @@ LAST_MP_SIZING_REPORT: dict | None = None
 # over-chunk -> the measured ~3x wall loss).
 MP_SIZING_DIVERGENCE_BAND = 4.0
 
-# Pilot-pass sizing for adaptive MODEL-sized chunked runs (r10, r9
-# verdict #1): when the estimate that sized the passes is the uniform
-# byte model WITHOUT the worst-case safety proof (the skew_factor
-# route under 'auto', or explicit sizing='model' past the bound), the
-# first pass is shrunk to tables_per_pass // MP_PILOT_DIVISOR tables
-# (>= 1) so the run measures the real per-table shuffle rate BEFORE
-# committing a full-size pass to an unproven estimate. Why it must be
-# the FIRST pass: re-sizing can only go finer, so a refuted estimate
-# discovered after a full-size pass has already paid that pass's
-# budget violation — the measured clustered drift (11.2x, NC=16)
-# would blow the first full pass ~5.6x under a 2x skew hedge, while
-# the 1/8 pilot stays inside the budget for any residual drift < 8x
-# and costs one extra pass barrier (~the fixed per-pass floor) on
-# corpora where the model was right. Data-sized runs skip the pilot:
-# the exact count already measured the corpus (per-pass feedback
-# ratios 0.85-1.05 on the clustered rungs), so the residual drift is
-# the byte constant's ~1.2x, not the bucket distribution's 11x.
+# Pilot-pass sizing for ALL adaptive chunked runs (r10, r9 verdict
+# #1): the first pass is shrunk to tables_per_pass //
+# MP_PILOT_DIVISOR tables (>= 1) so the run measures the real
+# per-table shuffle rate BEFORE committing a full-size pass to an
+# estimate. Why it must be the FIRST pass: re-sizing can only go
+# finer, so a refuted estimate discovered after a full-size pass has
+# already paid that pass's budget violation — the measured clustered
+# drift (11.2x, NC=16) would blow the first full MODEL-sized pass
+# ~5.6x under a 2x skew hedge, while the 1/8 pilot stays inside the
+# budget for any residual drift < 8x and costs one extra pass
+# barrier (~the fixed per-pass floor) on corpora where the estimate
+# was right. DATA-sized runs pilot too (r10 NC sweep,
+# SCALE_LADDER_SKEW_CURVE_r10): the exact count nails the candidate
+# ROWS, but the ~70 B/candidate byte constant drifts with the
+# Hamming-screen pass fraction — measured 1.56x at NC=64, where the
+# un-piloted count-sized first pass (80 tables) shuffled 2.58 GB
+# against a 2 GiB budget before the mid-run re-size could act; a
+# 10-table pilot would have measured the rate at 0.32 GB and
+# re-chunked inside the budget.
 MP_PILOT_DIVISOR = 8
 
 # Below this per-pass volume the divergence warning stays silent
@@ -1653,10 +1683,11 @@ def _mp_resolve_mode(
     passes arm mid-run corrective re-sizing — measured per-table
     rates that refute the estimate re-chunk the remaining passes
     finer, see ``_MpSizingFeedback.resize``) and ``pilot_tables``
-    (model-sized adaptive runs lead with a 1/8-size calibration pass
-    so the refutation arrives BEFORE a full-size pass pays the
-    violation — ``MP_PILOT_DIVISOR``; None on data-sized runs, whose
-    estimate already measured the corpus)."""
+    (every adaptive run leads with a 1/8-size calibration pass so
+    the refutation arrives BEFORE a full-size pass pays the
+    violation — ``MP_PILOT_DIVISOR``; data-sized runs pilot too,
+    because the byte constant drifts ~1.6x with the screen pass
+    fraction even when the candidate COUNT is exact)."""
     import warnings
 
     if tables_per_pass is not None and tables_per_pass < 1:
@@ -1957,7 +1988,7 @@ def _mp_resolve_mode(
     # estimate carries no safety proof.
     adaptive = budget_consulted and eager_passes and chunked
     pilot_tables: int | None = None
-    if adaptive and est_source == "model":
+    if adaptive:
         pilot_tables = max(1, tables_per_pass // MP_PILOT_DIVISOR)
         if pilot_tables >= tables_per_pass:
             pilot_tables = None
@@ -2213,14 +2244,19 @@ def ann_lsh_multiprobe_pairs(
     budget, the feedback additionally ACTS (r9 verdict #1): a
     measured per-table rate that projects the next pass past the
     budget re-chunks the REMAINING passes finer mid-run (never
-    coarser — the asymmetric loss stands), and model-sized runs lead
-    with a 1/8-size calibration pilot pass so the refutation arrives
-    before any full-size pass pays the violation
+    coarser — the asymmetric loss stands), and every adaptive run
+    leads with a 1/8-size calibration pilot pass so the refutation
+    arrives before any full-size pass pays the violation
     (``MP_PILOT_DIVISOR``; measured: the skew_factor=2-hedged model
-    run on the clustered x3 warehouse finishes within the 2 GiB
-    budget where finishing on the estimate violated it). Use
-    ``mp_mode_report`` to see the whole resolution without running
-    anything."""
+    run on the clustered x3 warehouse finishes at a 1.96 GB peak
+    inside the 2 GiB budget where finishing on the estimate peaked
+    4.72 GB — SCALE_LADDER_DRIFT_r10.json). The single-pass decision
+    itself carries a measured byte-drift guard
+    (``MP_BYTE_DRIFT_GUARD``): even the exact count converts rows to
+    bytes through calibration, and the r10 NC sweep measured true
+    bytes up to 1.64x the estimate at the budget edge
+    (SCALE_LADDER_SKEW_CURVE_r10.json). Use ``mp_mode_report`` to
+    see the whole resolution without running the quadratic job."""
     res = _mp_resolve_mode(
         emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
         broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,

@@ -244,11 +244,12 @@ def test_resolution_pilot_on_skew_routed_model_sizing(emb):
     assert rep["n_passes"] == -(-rest // k) + 1
 
 
-def test_resolution_no_pilot_on_data_sizing(emb, monkeypatch):
-    """Data-sized chunked runs measured the corpus already (exact
-    count): adaptive re-sizing stays armed, but no pilot — the
-    residual drift is the ~1.2x byte constant, not the 11x bucket
-    distribution."""
+def test_resolution_pilot_on_data_sizing_too(emb, monkeypatch):
+    """Data-sized chunked runs pilot as well (r10 NC sweep): the
+    exact count nails candidate ROWS, but the ~70 B/candidate byte
+    constant drifted 1.56x at NC=64 and the un-piloted count-sized
+    first pass (80 tables) shuffled 2.58 GB against a 2 GiB budget
+    before the re-size could act."""
     monkeypatch.setattr(
         sim, "_mp_exact_candidate_count", lambda *a, **kw: 10_000_000
     )
@@ -259,7 +260,32 @@ def test_resolution_no_pilot_on_data_sizing(emb, monkeypatch):
     assert rep["regime"] == "chunked-shuffle"
     assert rep["est_source"] == "data"
     assert rep["adaptive"] is True
-    assert rep["pilot_tables"] is None
+    k = rep["tables_per_pass"]
+    assert rep["pilot_tables"] == max(1, k // sim.MP_PILOT_DIVISOR)
+
+
+def test_k_rule_byte_drift_guard():
+    """The single-pass boundary carries the measured byte-drift
+    guard (r10): estimates inside [budget/1.7, budget] chunk
+    minimally (2 passes) instead of risking the measured <=1.64x
+    breach; comfortable fits stay single-pass; interior K is
+    unchanged (the r9 measured-best points)."""
+    budget = 2 * 1024**3
+    # the measured NC=256 failure: exact est 1.59 GB "fit" the 2 GiB
+    # budget, single-pass was chosen, true stream 2.26 GB violated it
+    assert _mp_k_from_estimate(1_593_224_080, 160, budget) == 80
+    # comfortable fit (x10 model est ~13 GB vs 32 GiB) stays
+    # single-pass
+    assert _mp_k_from_estimate(
+        13 * 1024**3, 160, 32 * 1024**3
+    ) is None
+    # interior pins unchanged: the r9 measured-best combiner points
+    assert _mp_k_from_estimate(
+        118_781_078_430, 160, 32 * 1024**3
+    ) == 40
+    assert _mp_k_from_estimate(13_391_046_060, 160, budget) == 23
+    # n_tables=1 still cannot chunk, even in the guard zone
+    assert _mp_k_from_estimate(budget, 1, budget) is None
 
 
 def test_resolution_not_adaptive_with_explicit_k(emb):

@@ -161,13 +161,23 @@ def test_clustered_exact_counts_reproduce_measured_k_r9():
     x3 seven 23-table passes (peak 2.02 GB). The uniform model said
     single-pass at every rung and its runs violated the budget 1.56x /
     3.05x at x2/x3 — the datapoints that refuted the r8 'skew is
-    conservative' claim."""
+    conservative' claim.
+
+    r10 amendment: the x1 estimate (1.48 GB vs the 2 GiB budget) sits
+    in the byte-drift guard zone [budget/1.7, budget] and now chunks
+    minimally (2 passes) instead of single-pass. The r10 NC sweep
+    measured WHY the zone is undecidable from the estimate alone:
+    r9 clustered x1 (est 1.48 GB) truly shuffled 1.13 GB (drift
+    0.76x, single-pass would hold) while NC=256 (est 1.59 GB — nearly
+    the same number) truly shuffled 2.26 GB (drift 1.42x, single-pass
+    VIOLATED the budget). Same estimate, opposite outcomes — the
+    static decision must take the bounded 2-pass tax."""
     from canadiannewsdatapipeline_spark.operators.similarity import (
         _mp_k_from_estimate,
     )
 
     budget = 2 * 1024**3
-    assert _mp_k_from_estimate(1_480_267_670, 160, budget) is None
+    assert _mp_k_from_estimate(1_480_267_670, 160, budget) == 80
     assert _mp_k_from_estimate(5_943_649_180, 160, budget) == 54
     assert _mp_k_from_estimate(13_391_046_060, 160, budget) == 23
 
