@@ -1,0 +1,136 @@
+"""Build the standing CORRECTNESS_LOCAL_r{N}.json artifact: every
+registered query in the driver's per-query shape, swept over FOUR
+warehouses (r10 — the clustered section is new, r9 verdict #2):
+
+- ``sf0.01``       — the driver's own differential warehouse;
+- ``content_fresh_x3`` / ``content_fresh_x7`` — content-fresh
+  scale-ladder warehouses at two row counts (fresh token sequences +
+  fresh uniform vectors: new row counts AND content the exact-dup
+  cascade cannot collapse);
+- ``clustered_x1`` — the adversarial clustered-embedding warehouse
+  (16 md5 cluster centers + eps noise over the sf0.1 row counts,
+  ~124k true near-dup pairs): the corpus shape that broke the r8
+  sizing model, kept as a standing correctness stressor so
+  tie-breaking near cosine-equal pairs and the skew-routing paths
+  stay under oracle parity every round.
+
+Why it exists: the driver's 50-name sample has drawn the identical
+set since round 2, so ~127 registered queries would otherwise have no
+machine-readable correctness row at all (r6 verdict #4).
+
+Usage:  python scripts/correctness_local.py OUT.json [--skip-build]
+(~25-40 min total on this box — run in tmux; warehouses are built
+deterministically under /tmp/correctness_local and kept for reruns
+with --skip-build)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE = "/tmp/correctness_local"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+NOTE = (
+    "All-registered-queries local correctness artifact (standing "
+    "per-round deliverable while the driver's 50-name sample stays "
+    "frozen - drawn identically since round 2): "
+    "scripts/driver_sim.py --json in the driver CORRECTNESS_r{N}.json "
+    "per-query shape, run on the fixed sf0.01 warehouse, two "
+    "content-fresh scale-ladder warehouses (x3, x7), and - new in "
+    "r10 (r9 verdict #2) - the adversarial clustered-embedding "
+    "warehouse (NC=16, eps=0.01 over sf0.1 row counts, ~124k true "
+    "near-dup pairs), the corpus shape that broke the r8 sizing "
+    "model, now a standing correctness stressor. Reproduce: "
+    "python scripts/correctness_local.py OUT.json"
+)
+
+
+def build_warehouses(skip: bool) -> dict[str, str]:
+    import duckdb
+
+    from scale_ladder import build_rung
+
+    dirs = {
+        "sf0.01": "/root/testdata/sf0.01",
+        "content_fresh_x3": f"{BASE}/fresh_x3/x3",
+        "content_fresh_x7": f"{BASE}/fresh_x7/x7",
+        "clustered_x1": f"{BASE}/clustered_x1/x1",
+    }
+    specs = {
+        "content_fresh_x3": (3, "fresh"),
+        "content_fresh_x7": (7, "fresh"),
+        "clustered_x1": (1, "clustered"),
+    }
+    for name, (k, mode) in specs.items():
+        out = dirs[name]
+        marker = os.path.join(out, "LADDER_MODE")
+        if skip and os.path.isfile(marker):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        if mode == "clustered":
+            os.environ["SPARK_GRAFT_LADDER_CLUSTERS"] = "16"
+            os.environ["SPARK_GRAFT_LADDER_CLUSTER_EPS"] = "0.01"
+        build_rung(duckdb.connect(), k, out, mode)
+        print(f"built {name} -> {out}", flush=True)
+    os.sync()
+    return dirs
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        return 2
+    out_path = argv[0]
+    skip = "--skip-build" in argv
+    dirs = build_warehouses(skip)
+    sections = {}
+    for name, whs in dirs.items():
+        part = f"{BASE}/part_{name.replace('.', '_')}.json"
+        print(f"=== sweep {name} ({whs}) ===", flush=True)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "driver_sim.py"),
+                whs,
+                "--json",
+                part,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+        print(tail, flush=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            print(f"ERROR: sweep {name} failed", file=sys.stderr)
+            return proc.returncode or 1
+        with open(part) as fh:
+            queries = json.load(fh)["queries"]
+        n_bad = sum(
+            1
+            for q in queries.values()
+            if q.get("err")
+            or (not q.get("rows_only") and not q.get("hash_match"))
+        )
+        sections[name] = {"sf_dir": whs, "queries": queries}
+        print(f"{name}: {len(queries)} queries, {n_bad} bad", flush=True)
+        if n_bad:
+            print(f"ERROR: {name} has {n_bad} failing queries", file=sys.stderr)
+            return 1
+    with open(out_path, "w") as fh:
+        json.dump({"_note": NOTE, "warehouses": sections}, fh, indent=1)
+    print(json.dumps({"written": out_path, "sections": list(sections)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

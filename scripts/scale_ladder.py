@@ -307,6 +307,72 @@ def _mp_t04_shuffle_auto(spark, sf_dir):
     )
 
 
+def _mp_t04_tight_skew2(spark, sf_dir, adaptive: bool):
+    """r10 (r9 verdict #1): the injected-drift pair. A caller hedges
+    the model with skew_factor=2 on a clustered corpus whose real
+    drift is ~11x — the model x2 estimate chunks, but too coarse.
+
+    ``adaptive=True`` is the r10 zero-knob behavior: the model-sized
+    plan leads with the 1/8 calibration pilot pass, the measured
+    per-table rate refutes the estimate after the pilot, and the
+    remaining passes re-chunk finer mid-run — the budget holds.
+
+    ``adaptive=False`` replays what finishing on the refuted estimate
+    did (the pre-r10 behavior): the SAME resolution's K as an
+    explicit tables_per_pass (explicit K never re-sizes), so the
+    first full-size pass pays the violation the pilot exists to
+    avoid. Run both under --clean-session --disk-trace and compare
+    peak_disk_bytes against the budget."""
+    import warnings
+
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_pairs,
+        mp_mode_report,
+    )
+    from canadiannewsdatapipeline_spark.queries.llm import (
+        _COS_THRESHOLD,
+        _MP_BITS,
+        _MP_HAMMING,
+        _MP_POOL,
+        _MP_RADIUS,
+        _MP_TABLES,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_MP_BUDGET", str(2 * 1024**3))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    common = dict(
+        pool=_MP_POOL, n_bits=_MP_BITS, n_tables=_MP_TABLES,
+        probe_radius=_MP_RADIUS, broadcast_corpus=False,
+    )
+    if adaptive:
+        return ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
+            hamming_max=_MP_HAMMING, disk_budget_bytes=budget,
+            skew_factor=2.0, **common,
+        )
+    plan = mp_mode_report(
+        emb, "vec_id", "embedding", disk_budget_bytes=budget,
+        skew_factor=2.0, **common,
+    )
+    k = plan["tables_per_pass"]
+    with warnings.catch_warnings():
+        # the explicit-K twin intentionally triggers the
+        # unconsulted-knob advisory; this row measures, not audits
+        warnings.simplefilter("ignore", RuntimeWarning)
+        return ann_lsh_multiprobe_pairs(
+            emb, "vec_id", "embedding", threshold=_COS_THRESHOLD,
+            hamming_max=_MP_HAMMING,
+            # K=None (the estimate fit): the pre-r10 behavior is the
+            # same single-pass plan — pin it explicitly
+            tables_per_pass=k if k is not None else _MP_TABLES,
+            eager_passes=plan["eager_passes"] if k is not None else None,
+            **common,
+        )
+
+
 def _mp_t04_auto_tight_budget(spark, sf_dir, sizing: str):
     """r8 verdict #2 (skew measurement): the t04 config in the
     shuffle tier, zero knobs except a TIGHT disk budget
@@ -359,6 +425,14 @@ EXTRA_QUERIES = {
     # warehouses (the worst-case bound refuses the model there)
     "ann_mp_t04_auto_tight_budget_auto": (
         lambda s, d: _mp_t04_auto_tight_budget(s, d, "auto")
+    ),
+    # r10: the injected-drift pair (r9 verdict #1) — same resolution,
+    # with and without the pilot + mid-run re-sizing
+    "ann_mp_t04_tight_skew2_adaptive": (
+        lambda s, d: _mp_t04_tight_skew2(s, d, True)
+    ),
+    "ann_mp_t04_tight_skew2_static": (
+        lambda s, d: _mp_t04_tight_skew2(s, d, False)
     ),
     # mode-comparison rows: select via SPARK_GRAFT_LADDER_QUERIES
     # (not in any default subset — they exist to measure the
