@@ -855,11 +855,14 @@ def _group_shuffle_write_bytes(sc, group: str) -> int | None:
             getattr(store, "stageList$default$4")(),
             getattr(store, "stageList$default$5")(),
         )
-        return sum(
-            stages.apply(i).shuffleWriteBytes()
-            for i in range(stages.size())
-            if stages.apply(i).stageId() in stage_ids
-        )
+        total = 0
+        for i in range(stages.size()):
+            # bind once: each .apply/.stageId is a py4j round-trip,
+            # and this reader runs at every pass barrier
+            s = stages.apply(i)
+            if s.stageId() in stage_ids:
+                total += s.shuffleWriteBytes()
+        return total
     except Exception:  # pragma: no cover - depends on py4j internals
         return None
 

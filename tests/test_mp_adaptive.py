@@ -426,3 +426,27 @@ def test_conf_skew_factor_warns_under_auto(emb):
             disk_budget_bytes=16 * MB, skew_factor=3.0,
         )
     assert rep["skew_factor"] == 3.0
+
+
+def test_measured_r10_boundaries_pin():
+    """Spark-free pins of the r10 measured boundary decisions
+    (SCALE_LADDER_DRIFT_r10.json / SCALE_LADDER_X30_AUTO_r10.json):
+
+    - the skew_factor=2 opt-out at clustered x2 keeps the hedged
+      estimate (1.06 GB) under the guard line (x1.7 = 1.80 GB <=
+      2 GiB), so the run single-passes — the measured residual
+      (peak 3.34 GB, byte-identical to the r9 violation);
+    - the x30 pilot's measured 1.46 GB/table re-chunks the remaining
+      155 tables to exactly the K=23 the run executed."""
+    budget = 2 * 1024**3
+    hedged_x2 = 528_811_220 * 2
+    assert hedged_x2 * sim.MP_BYTE_DRIFT_GUARD <= budget
+    assert _mp_k_from_estimate(hedged_x2, 160, budget) is None
+    # the zero-knob default at the same rung sized from the exact
+    # count (5.94 GB) and held: interior K unchanged by the guard
+    assert _mp_k_from_estimate(5_943_649_180, 160, budget) == 54
+    # the x30 mid-run re-size, replayed from the recorded pilot rate
+    pilot_rate = 1_456_943_750
+    assert _mp_k_from_estimate(
+        pilot_rate * 155 + 1, 155, 32 * 1024**3
+    ) == 23
