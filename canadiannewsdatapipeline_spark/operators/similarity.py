@@ -907,9 +907,9 @@ MP_SIZING_DIVERGENCE_BAND = 4.0
 # ROWS, but the ~70 B/candidate byte constant drifts with the
 # Hamming-screen pass fraction — measured 1.56x at NC=64, where the
 # un-piloted count-sized first pass (80 tables) shuffled 2.58 GB
-# against a 2 GiB budget before the mid-run re-size could act; a
-# 10-table pilot would have measured the rate at 0.32 GB and
-# re-chunked inside the budget.
+# against a 2 GiB budget before the mid-run re-size could act; the
+# re-measured run's 10-table pilot read 0.49 GB and re-chunked
+# 80->38, every pass inside the budget (SCALE_LADDER_SKEW_CURVE_r10).
 MP_PILOT_DIVISOR = 8
 
 # Below this per-pass volume the divergence warning stays silent

@@ -5,11 +5,12 @@ CORRECTIVE, and its readings become concurrency-safe.
    auto-sizer consulted a disk budget and eager chunked passes run,
    a measured per-table shuffle rate that projects the next pass past
    the budget re-derives K for the REMAINING table list — finer only,
-   never coarser (the asymmetric loss stands). Model-sized runs lead
-   with a 1/8-size calibration pilot pass so the refutation arrives
-   before a full-size pass pays the violation (the measured clustered
-   drift is 11.2x — any full first pass under a 2-3x skew hedge
-   already blows the budget).
+   never coarser (the asymmetric loss stands). Every adaptive run
+   leads with a 1/8-size calibration pilot pass so the refutation
+   arrives before a full-size pass pays the violation (the measured
+   clustered drift is 11.2x — any full first pass under a 2-3x skew
+   hedge already blows the budget; and even the exact count's byte
+   conversion drifted 1.56x at NC=64).
 
 2. **Job-group-scoped readings** (r9 verdict #4): pass deltas come
    from the run's own job group (``_group_shuffle_write_bytes``), so
