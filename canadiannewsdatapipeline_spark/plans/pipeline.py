@@ -7,19 +7,24 @@ Here: per-source DataFrames (each a links->fetch->parse->enrich chain)
 ALL_DONE trigger rule) -> validate -> id assignment -> translate
 (conditional overwrite) -> raw store -> model DAG -> marts.
 
-The serial id uses row_number over a deterministic ordering — not
-monotonically_increasing_id() — so reruns and oracles agree
-(SURVEY.md §7.4 item 3).
+The serial id is the 1-based global rank under a deterministic
+ordering — not monotonically_increasing_id() — so reruns and oracles
+agree (SURVEY.md §7.4 item 3), assigned by the distributed two-phase
+operator (operators/serial_ids.py) rather than an unpartitioned
+row_number window: the old form funneled the whole validated batch
+through ONE partition (r10 verdict #1 — fine at the reference's ~90
+rows/run, a serializing bottleneck on a 100 TB backfill).
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..enrich.batch import translate_language
+from ..operators.serial_ids import assign_serial_ids
 from ..operators.validate import news_record_rules, scrub_invalid_authors, validate
 from ..sources.scrape import (
     ArticleParser,
@@ -78,8 +83,9 @@ def load_raw_news(combined: DataFrame, run_ts: str) -> DataFrame:
     Translate_French_Articles legs."""
     validated = scrub_invalid_authors(validate(combined, news_record_rules()))
     kept = validated.filter(F.col("valid")).drop("valid", "reject_reason")
-    w = Window.orderBy("source_name", "url", "title", "author")
-    with_ids = kept.withColumn("id", F.row_number().over(w))
+    with_ids = assign_serial_ids(
+        kept, ["source_name", "url", "title", "author"], "id"
+    )
     translated = translate_language(
         with_ids, ["title", "article_content"], language_col="language"
     )

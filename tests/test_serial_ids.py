@@ -1,0 +1,116 @@
+"""Distributed serial-id assignment (r10 verdict #1): bit-identical
+to the old unpartitioned row_number window, with no single-partition
+exchange in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from canadiannewsdatapipeline_spark.operators.serial_ids import (
+    assign_serial_ids,
+)
+
+
+def _global_rank_ids(df, sort_cols, id_col="id"):
+    """The old single-partition form — the determinism oracle."""
+    w = Window.orderBy(*sort_cols)
+    return df.withColumn(id_col, F.row_number().over(w))
+
+
+def _rows_to_keyed(rows, cols):
+    # keyed dict, not a sort: Python can't order None vs str
+    return {(r[cols[0]], r[cols[1]]): tuple(r[c] for c in cols[2:]) for r in rows}
+
+
+def test_ids_match_global_row_number_multi_bucket(spark):
+    # 500 unique keys over forced multi-bucket assignment, including
+    # NULL sort-key values (struct ordering must bucket them
+    # nulls-first, exactly like Window.orderBy's asc_nulls_first)
+    df = spark.range(500).select(
+        F.when(F.col("id") % 97 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
+        .alias("a"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("b"),
+        (F.col("id") * 3 % 11).alias("c"),
+    )
+    got = assign_serial_ids(df, ["a", "b"], "id", n_buckets=8)
+    want = _global_rank_ids(df, ["a", "b"])
+    cols = ["a", "b", "c", "id"]
+    assert _rows_to_keyed(got.collect(), cols) == _rows_to_keyed(
+        want.collect(), cols
+    )
+    # dense 1..N
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == list(range(1, 501))
+
+
+def test_ids_stable_across_recompute_and_schema(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 13).cast("string").alias("a"),
+        F.col("id").cast("string").alias("b"),
+    )
+    out = assign_serial_ids(df, ["a", "b"], "rid", n_buckets=5)
+    # two separate actions on the SAME returned plan must agree —
+    # bucketing is a pure function of the row (literal boundaries),
+    # so recompute cannot reshuffle ids
+    first = {(r["a"], r["b"]): r["rid"] for r in out.collect()}
+    second = {(r["a"], r["b"]): r["rid"] for r in out.collect()}
+    assert first == second
+    # id column type matches the reference's SERIAL (int), appended last
+    assert dict(out.dtypes)["rid"] == "int"
+    assert out.columns == ["a", "b", "rid"]
+
+
+def test_plan_has_no_single_partition_exchange(spark):
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+    )
+    out = assign_serial_ids(df, ["a", "b"], "id", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the rank still runs, partitioned
+
+
+def test_load_raw_news_plan_is_partitioned(spark):
+    """r10 verdict #1 done-criterion: no unpartitioned WindowExec in
+    the ingest load path."""
+    from canadiannewsdatapipeline_spark.plans.pipeline import load_raw_news
+
+    # enough rows that the default bucket rule (one bucket per 1000
+    # rows) engages multi-bucket assignment — the regime the plan
+    # assert is about; a tiny batch folds to one constant bucket,
+    # which is the right physical plan for 40 rows
+    combined = spark.createDataFrame(
+        [
+            (
+                "globe", "ca", "politics", f"First{i} Last{i}",
+                f"f{i}@mail.ca", None, f"Title {i}", "desc",
+                f"https://g.ca/a{i}", "2024-03-04 00:00:00",
+                "Body text.", "centre", "english",
+            )
+            for i in range(2500)
+        ],
+        "source_name string, source_country string, category string, "
+        "author string, author_email string, author_url string, "
+        "title string, description string, url string, "
+        "publishedat string, article_content string, bias string, "
+        "language string",
+    ).withColumn("publishedat", F.col("publishedat").cast("timestamp"))
+    raw = load_raw_news(combined, "2024-03-05 00:00:00")
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # ids still dense + deterministic through the full load leg
+    ids = sorted(r["id"] for r in raw.collect())
+    assert ids == list(range(1, 2501))
+
+
+def test_empty_and_single_bucket_edges(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    assert assign_serial_ids(df, ["a", "b"]).count() == 0
+    one = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert assign_serial_ids(one, ["a", "b"]).collect()[0]["id"] == 1
+    with pytest.raises(ValueError):
+        assign_serial_ids(one, [])
