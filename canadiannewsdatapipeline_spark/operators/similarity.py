@@ -15,6 +15,9 @@ Two tiers, as a 100 TB pipeline needs:
 
 from __future__ import annotations
 
+from collections import OrderedDict as _OrderedDict
+from threading import Lock as _Lock
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -252,6 +255,100 @@ def lsh_multitable_buckets(
     e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     return e.select(
         "id", F.posexplode(F.array(*tables)).alias("tbl", "bucket")
+    )
+
+
+def _multitable_signature_gen(n_tables: int, n_planes: int, dim: int):
+    """Arrow-batch bucket kernel for the multitable sign-LSH:
+    (id, v) -> (id, per-table bucket array). Plane (t, p) component j
+    uses the engine's md5 formula (``_plane``, key 't:p:j') evaluated
+    once driver-side; bit p carries weight 2^p — both identical to the
+    literal-fold form in ``lsh_multitable_buckets`` and mirrored in
+    the DuckDB oracles (queries/llm.py::_LSH_BUCKETS_CTE)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [
+                (ord(hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[0]) % 7)
+                - 3
+                for j in range(dim)
+            ]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)  # bit p -> 2^p
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (np.round(vecs @ planes.T, 6) >= 0).astype(np.int64)
+            buckets = (
+                bits.reshape(len(pdf), n_tables, n_planes) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "bk": list(buckets)}
+            )
+
+    return gen
+
+
+def lsh_multitable_buckets_kernel(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 12,
+    n_planes: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Output-identical twin of ``lsh_multitable_buckets`` computed by
+    ONE Arrow-batched numpy matmul instead of ``n_tables * n_planes``
+    literal-array Catalyst folds — the multiprobe signature fix
+    (``_mp_signature_gen``) ported to the multitable shape (r10
+    verdict #2).
+
+    Why: the fold form embeds L·k 64-literal plane arrays in the plan
+    and Catalyst re-walks them at every analysis — measured 2.86 s of
+    plan construction per ``sim_topk_ann`` build at sf0.1 (the slowest
+    plan in the bench detail, BENCH_r10), all analyzer time, zero
+    execution. The kernel keeps the planes in the task closure (zero
+    plan footprint) and hashes a corpus batch as one matmul.
+
+    Sign semantics: float64 accumulate, round to 6 dp, then >= 0 —
+    the same two cross-engine divergence classes as the multiprobe
+    kernel (closed half-even tie + the residual ~1-ulp summation-order
+    window; see the signature-stage comment in
+    ``_ann_lsh_multiprobe_distinct``). Degenerate vectors — NULL,
+    any NULL element, or length != dim — are routed AROUND the kernel
+    JVM-side and assigned bucket 0 in every table: exactly what the
+    fold form yields for them, since any such vector's dot is NULL
+    (zip_with pads length mismatches with nulls) and
+    ``when(dot >= 0, ...).otherwise(0)`` zeroes every bit. Parity is
+    pinned exactly in tests/test_similarity.py."""
+    e = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    degenerate = (
+        F.col("v").isNull()
+        | (F.size("v") != F.lit(dim))
+        | F.exists(F.col("v"), lambda x: x.isNull())
+    )
+    clean = e.filter(~degenerate).mapInPandas(
+        _multitable_signature_gen(n_tables, n_planes, dim),
+        "id long, bk array<long>",
+    )
+    zeros = e.filter(degenerate).select(
+        "id", F.array_repeat(F.lit(0).cast("long"), n_tables).alias("bk")
+    )
+    return clean.unionByName(zeros).select(
+        "id", F.posexplode("bk").alias("tbl", "bucket")
     )
 
 
@@ -564,6 +661,36 @@ MP_SKEW_FACTOR = 1.0
 _MP_EMB_ROW_BYTES = lambda dim: 4 * dim + 16  # noqa: E731
 _MP_CANDIDATE_ROW_BYTES = 70
 
+# Second term of the r11 two-term byte model (r10 verdict #3): a
+# candidate that SURVIVES the Hamming screen carries the exact
+# verify's vector attach through the survivor exchange — two 64-double
+# arrays plus ids/norms, ~1 KB of shuffle file per survivor row where
+# a screened-out candidate costs only the ~70 B id-pair exchanges.
+# The r10 NC sweep measured the resulting drift as SYSTEMATIC
+# (observed/est 1.03 -> 1.64 as the screen-pass fraction shifts with
+# cluster count, SCALE_LADDER_SKEW_CURVE_r10.json): at a 4.4% pass
+# fraction the blended slope is 70 + 0.044*1024 ≈ 115 B/candidate =
+# the measured 1.64x. The flat constant stays the zero-knowledge
+# default; the two-term form engages when a measured survivor
+# fraction exists (the guard-zone screen sample below).
+_MP_SURVIVOR_ROW_BYTES = 1024
+
+
+def _mp_two_term_bytes(n_candidates: int, survivor_frac: float) -> int:
+    """Two-term candidate-stream bytes: base id-pair exchanges for
+    every candidate + the ~1 KB vector attach for the screen-pass
+    fraction. Reduces to the flat one-term model at survivor_frac=0
+    and is monotonically >= it, so swapping it in can only size
+    SAFER (finer), never coarser."""
+    if not 0.0 <= survivor_frac <= 1.0:
+        raise ValueError(
+            f"survivor_frac must be in [0, 1] (got {survivor_frac})"
+        )
+    return int(
+        n_candidates
+        * (_MP_CANDIDATE_ROW_BYTES + survivor_frac * _MP_SURVIVOR_ROW_BYTES)
+    )
+
 
 def _mp_candidate_stream_bytes(
     input_bytes: int,
@@ -820,7 +947,35 @@ def _observed_shuffle_write_bytes(sc) -> int | None:
         return None
 
 
-def _group_shuffle_write_bytes(sc, group: str) -> int | None:
+def _status_store_stage_ids(sc) -> frozenset:
+    """Stage ids the driver's app-status store currently retains —
+    the snapshot the feedback hook takes at arm time so stages
+    computed BEFORE the run's job group existed (r10 advice: Spark
+    lists SKIPPED stages in a job's stageIds too — a cached/shuffle-
+    reused lineage produced by the exact-count job or a caller
+    persist) can be excluded from the group sum instead of landing
+    their historical bytes in the first pass's delta. Empty set when
+    the store is unreachable (the group reader will then return
+    ``None`` on its own and disarm the hook)."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            None,
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        )
+        return frozenset(
+            stages.apply(i).stageId() for i in range(stages.size())
+        )
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return frozenset()
+
+
+def _group_shuffle_write_bytes(
+    sc, group: str, exclude: frozenset = frozenset()
+) -> int | None:
     """Shuffle bytes WRITTEN by the stages of ``group``'s jobs only —
     the job-group-scoped twin of ``_observed_shuffle_write_bytes``
     (r9 verdict #4: the app-wide total makes the feedback hook's
@@ -830,6 +985,21 @@ def _group_shuffle_write_bytes(sc, group: str) -> int | None:
     own stages, so a sibling job can no longer inflate a pass
     reading). Jobs from other threads keep their own group (local
     properties are thread-scoped) and are excluded by construction.
+
+    ``exclude`` (r10 advice): stage ids to drop from the sum even
+    when a group job lists them — Spark's job pages include SKIPPED
+    stages, i.e. shuffle output computed BEFORE the group existed
+    and merely reused by a group job; counting those pre-group bytes
+    would inflate the pilot reading and could trigger a spurious
+    divergence warning or an unnecessarily fine mid-run re-chunk.
+    The hook passes its arm-time status-store snapshot
+    (``_status_store_stage_ids``). Residual (documented, bounded the
+    safe way): a pre-group stage that physically RE-RUNS inside the
+    group (lost shuffle files on a cluster) keeps its stage id and
+    its new bytes stay excluded — an under-read that at worst delays
+    a re-chunk by one pass, where the next pass's own reading
+    catches it.
+
     ``None`` when the status-store internals are unreachable — the
     hook disarms, same contract as the app-wide reader. Eviction
     still applies: a stage evicted past ``spark.ui.retainedStages``
@@ -845,7 +1015,9 @@ def _group_shuffle_write_bytes(sc, group: str) -> int | None:
             if jg.isDefined() and jg.get() == group:
                 sids = j.stageIds()
                 for s in range(sids.size()):
-                    stage_ids.add(sids.apply(s))
+                    sid = sids.apply(s)
+                    if sid not in exclude:
+                        stage_ids.add(sid)
         if not stage_ids:
             return 0
         stages = store.stageList(
@@ -874,13 +1046,24 @@ def _group_shuffle_write_bytes(sc, group: str) -> int | None:
 # shuffle-write bytes vs the estimate's slice, plus run totals and
 # any mid-run re-sizes (r10). A cluster operator (or a test) reads
 # it to see how far reality drifted from the model that sized the
-# passes. SINGLE-WRITER CAVEAT (r9 verdict #4): module-level,
-# last-writer-wins — two multiprobe runs racing in one interpreter
-# leave only the later run's report here. The per-pass BYTE readings
-# themselves are safe under concurrency (job-group-scoped, see
-# _group_shuffle_write_bytes); only this post-hoc report slot is
-# last-writer-wins.
+# passes. This slot is the LAST-RUN ALIAS; concurrent runs in one
+# interpreter each keep their own entry in MP_SIZING_REPORTS (r11,
+# r10 verdict #4) so racing multiprobe runs no longer clobber each
+# other's post-hoc record.
 LAST_MP_SIZING_REPORT: dict | None = None
+
+# Per-run sizing reports, keyed by job group (r11, r10 verdict #4).
+# Key: the CALLER's spark.jobGroup.id local property if one was set
+# when the operator was invoked (the practical retrieval handle — a
+# caller who wants their run's report sets a group first and looks
+# it up here), else the run's internal cndp-mp-sizing-<uuid> group
+# (always present in the report's "job_group" field). Bounded,
+# insertion-ordered: oldest entries evict past
+# MP_SIZING_REPORTS_MAX so a long-lived session cannot grow it
+# without bound. Mutated only under _MP_REPORTS_LOCK.
+MP_SIZING_REPORTS: "_OrderedDict[str, dict]" = _OrderedDict()
+MP_SIZING_REPORTS_MAX = 32
+_MP_REPORTS_LOCK = _Lock()
 
 # Divergence band for the one-time runtime warning: the model's
 # calibration constants absorb fixed floors and the estimate is
@@ -971,6 +1154,7 @@ class _MpSizingFeedback:
         disk_budget_bytes: int | None = None,
         job_group: str | None = None,
         pilot_tables: int | None = None,
+        caller_group: str | None = None,
     ):
         self._sc = sc
         self._est = est_stream_bytes
@@ -978,15 +1162,28 @@ class _MpSizingFeedback:
         self._budget = disk_budget_bytes
         self._group = job_group
         self._pilot = pilot_tables
+        self._caller_group = caller_group
         self._passes: list[dict] = []
         self._resizes: list[dict] = []
         self._warned = False
         self._resize_warned = False
+        # arm-time snapshot: stages that already exist were computed
+        # BEFORE this run's group — a group job that merely REUSES
+        # one lists it as SKIPPED, and its historical bytes must not
+        # land in a pass delta (r10 advice; see
+        # _group_shuffle_write_bytes's ``exclude``)
+        self._preexisting = (
+            _status_store_stage_ids(sc)
+            if job_group is not None
+            else frozenset()
+        )
         self._base = self._read()
 
     def _read(self) -> int | None:
         if self._group is not None:
-            return _group_shuffle_write_bytes(self._sc, self._group)
+            return _group_shuffle_write_bytes(
+                self._sc, self._group, self._preexisting
+            )
         return _observed_shuffle_write_bytes(self._sc)
 
     def after_pass(self, tables_in_pass: int) -> None:
@@ -1127,7 +1324,7 @@ class _MpSizingFeedback:
         global LAST_MP_SIZING_REPORT
         tot_obs = sum(p["observed_bytes"] for p in self._passes)
         tot_est = sum(p["est_bytes"] for p in self._passes)
-        LAST_MP_SIZING_REPORT = {
+        report = {
             "est_stream_bytes": self._est,
             "n_tables": self._n_tables,
             "passes": self._passes,
@@ -1141,7 +1338,19 @@ class _MpSizingFeedback:
             "pilot_tables": self._pilot,
             "resizes": self._resizes,
             "job_group_scoped": self._group is not None,
+            "job_group": self._group,
+            "caller_group": self._caller_group,
         }
+        LAST_MP_SIZING_REPORT = report
+        # per-run slot (r11, r10 verdict #4): keyed by the CALLER's
+        # job group when one was set — the handle a concurrent caller
+        # can actually know — else the run's internal group
+        key = self._caller_group or self._group
+        if key is not None:
+            with _MP_REPORTS_LOCK:
+                MP_SIZING_REPORTS[key] = report
+                while len(MP_SIZING_REPORTS) > MP_SIZING_REPORTS_MAX:
+                    MP_SIZING_REPORTS.popitem(last=False)
 
 
 def _int_conf(spark, key: str) -> int | None:
@@ -1564,6 +1773,10 @@ def _ann_lsh_multiprobe_distinct(
             disk_budget_bytes=disk_budget_bytes,
             job_group=group,
             pilot_tables=pilot_tables,
+            # the caller's own group (if any) keys the per-run report
+            # in MP_SIZING_REPORTS — the handle a concurrent caller
+            # can know, unlike the internal uuid group
+            caller_group=prev_group,
         )
     parts: list[DataFrame] = []
     try:
@@ -1940,7 +2153,14 @@ def _mp_resolve_mode(
             )
             if tables_per_pass is None:
                 if eager_passes:
-                    if n_tables == 1 and est > disk_budget_bytes:
+                    if n_tables == 1:
+                        # r10 advice: branch on the 1-table list FIRST
+                        # — 'pass tables_per_pass=K' is unactionable
+                        # advice when the list cannot be subdivided,
+                        # including estimates in the byte-drift guard
+                        # zone (budget/guard < est <= budget) where
+                        # single-pass was chosen despite headroom
+                        # doubts
                         detail = (
                             "; n_tables=1 cannot be subdivided), so no "
                             "passes are materialized. Increase n_tables "
@@ -2365,11 +2585,17 @@ def ann_topk(
     and 0.67 s for the tuned point — i.e. the degradation is the
     exact tier PLUS the linear hash/bucket-count overhead, never
     quadratically worse; the fallback side is plan-asserted broadcast
-    (tests/test_physical_plans.py::test_ann_topk_fallback_side_is_broadcast)."""
+    (tests/test_physical_plans.py::test_ann_topk_fallback_side_is_broadcast).
+
+    Bucket stage: the Arrow-batched kernel twin
+    (``lsh_multitable_buckets_kernel``, r10 verdict #2 — the fold
+    form cost a measured 2.86 s of plan construction per build at
+    the 12x5 operating point; output-identical, parity pinned in
+    tests/test_similarity.py)."""
     from pyspark.storagelevel import StorageLevel
 
     qids = emb.filter(query_filter).select(F.col(id_col).alias("query_id"))
-    buckets = lsh_multitable_buckets(
+    buckets = lsh_multitable_buckets_kernel(
         emb, id_col, vec_col, n_tables, n_planes, dim
     ).persist(StorageLevel.MEMORY_AND_DISK)
     qb = buckets.join(

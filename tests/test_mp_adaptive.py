@@ -52,7 +52,9 @@ def emb(spark):
 def _fake_group_tracker(monkeypatch, readings):
     it = iter(readings)
     monkeypatch.setattr(
-        sim, "_group_shuffle_write_bytes", lambda sc, group: next(it)
+        sim,
+        "_group_shuffle_write_bytes",
+        lambda sc, group, exclude=frozenset(): next(it),
     )
 
 
@@ -339,7 +341,7 @@ def test_adaptive_run_rechunks_and_stays_exact(emb, monkeypatch):
     state = {"tables": 0}
     orig_filter = {}
 
-    def fake_read(sc, group):
+    def fake_read(sc, group, exclude=frozenset()):
         return state["tables"] * 10 * MB
 
     monkeypatch.setattr(sim, "_group_shuffle_write_bytes", fake_read)
@@ -451,3 +453,166 @@ def test_measured_r10_boundaries_pin():
     assert _mp_k_from_estimate(
         pilot_rate * 155 + 1, 155, 32 * 1024**3
     ) == 23
+
+
+# ---------------------------------------------------------------------------
+# 4. r11 additions: skipped-stage exclusion, per-run report slots,
+#    and the followable 1-table guard-zone advice (r10 advice items
+#    + r10 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_group_reading_excludes_snapshotted_stages(spark):
+    """r10 advice: a stage id listed by a group job but already
+    present in the status store at arm time was (at least partly)
+    written BEFORE the group existed — it must be excludable from the
+    group sum. Sequentially, Spark re-creates skipped stages under
+    fresh ids with zero recorded bytes (verified here too), so the
+    inflation shape needs a still-registered shared stage id
+    (concurrent jobs); the exclusion handles both, and this test pins
+    the mechanism on real py4j objects: a pre-group snapshot never
+    contains the group's own new stages, and excluding a group
+    stage's id verifiably drops its bytes from the sum."""
+    from operator import add
+
+    sc = spark.sparkContext
+    rdd = (
+        sc.parallelize(range(200_000), 8)
+        .map(lambda x: (x % 7, 1))
+        .reduceByKey(add)
+    )
+    assert rdd.count() == 7  # pre-group: materializes the shuffle
+    snapshot = sim._status_store_stage_ids(sc)
+    assert snapshot, "status store must be reachable in this test"
+    group = "skip-exclusion-test-group"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        # reuses the pre-group shuffle: its (re-created) skipped stage
+        # must carry no bytes into the group sum either way
+        assert rdd.count() == 7
+        # a REAL group shuffle, so the sum has something to exclude
+        assert (
+            sc.parallelize(range(100_000), 8)
+            .map(lambda x: (x % 5, 1))
+            .reduceByKey(add)
+            .count()
+            == 5
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+    raw = sim._group_shuffle_write_bytes(sc, group)
+    excl = sim._group_shuffle_write_bytes(sc, group, snapshot)
+    assert raw is not None and raw > 0
+    # the arm-time snapshot contains no group stage: sum unchanged
+    assert excl == raw
+    # excluding the group's own stages empties the sum — the
+    # exclusion path verifiably reaches the byte accounting
+    after = sim._status_store_stage_ids(sc)
+    assert sim._group_shuffle_write_bytes(sc, group, after) == 0
+
+
+def test_feedback_init_snapshots_and_threads_the_exclusion(monkeypatch):
+    """The hook must snapshot the store at arm time and pass that
+    exact set to every group read (Spark-free pin of the wiring)."""
+    sentinel = frozenset({3, 7})
+    seen = []
+    monkeypatch.setattr(sim, "_status_store_stage_ids", lambda sc: sentinel)
+
+    def fake_read(sc, group, exclude=frozenset()):
+        seen.append(exclude)
+        return len(seen) * MB
+
+    monkeypatch.setattr(sim, "_group_shuffle_write_bytes", fake_read)
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=MB, n_tables=4, job_group="g"
+    )
+    fb.after_pass(2)
+    fb.after_pass(2)
+    assert seen == [sentinel, sentinel, sentinel]
+
+
+def test_concurrent_runs_keep_distinct_reports(spark, emb):
+    """r10 verdict #4 done-criterion: two eager chunked runs racing
+    in one SparkSession each keep their own sizing report, keyed by
+    the CALLER's job group (the handle a caller can actually know);
+    LAST_MP_SIZING_REPORT stays as the last-run alias."""
+    import threading
+
+    sc = spark.sparkContext
+    sim.MP_SIZING_REPORTS.clear()
+    errors = []
+
+    def run(tag: str, n_tables: int):
+        try:
+            prev = sc.getLocalProperty("spark.jobGroup.id")
+            sc.setLocalProperty("spark.jobGroup.id", tag)
+            try:
+                ann_lsh_multiprobe_pairs(
+                    emb, "vec_id", "embedding", THRESHOLD,
+                    n_tables=n_tables, broadcast_corpus=False,
+                    tables_per_pass=3, eager_passes=True,
+                ).count()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", prev)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append((tag, exc))
+
+    ta = threading.Thread(target=run, args=("rpt-run-a", 8))
+    tb = threading.Thread(target=run, args=("rpt-run-b", 6))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    rep_a = sim.MP_SIZING_REPORTS["rpt-run-a"]
+    rep_b = sim.MP_SIZING_REPORTS["rpt-run-b"]
+    assert rep_a["n_tables"] == 8 and rep_a["caller_group"] == "rpt-run-a"
+    assert rep_b["n_tables"] == 6 and rep_b["caller_group"] == "rpt-run-b"
+    assert [p["tables"] for p in rep_a["passes"]] == [3, 3, 2]
+    assert [p["tables"] for p in rep_b["passes"]] == [3, 3]
+    # the alias points at ONE of the runs (last writer), both survive
+    assert sim.LAST_MP_SIZING_REPORT in (rep_a, rep_b)
+
+
+def test_reports_dict_is_bounded(monkeypatch):
+    sim.MP_SIZING_REPORTS.clear()
+    _fake_group_tracker(
+        monkeypatch,
+        [b for i in range(sim.MP_SIZING_REPORTS_MAX + 5) for b in (0, MB)],
+    )
+    for i in range(sim.MP_SIZING_REPORTS_MAX + 5):
+        fb = _MpSizingFeedback(
+            sc=None, est_stream_bytes=MB, n_tables=2,
+            job_group=f"g{i}", caller_group=f"c{i}",
+        )
+        fb.after_pass(2)
+        fb.finish()
+    assert len(sim.MP_SIZING_REPORTS) == sim.MP_SIZING_REPORTS_MAX
+    assert "c0" not in sim.MP_SIZING_REPORTS  # oldest evicted
+    assert f"c{sim.MP_SIZING_REPORTS_MAX + 4}" in sim.MP_SIZING_REPORTS
+
+
+def test_guard_zone_single_table_advice_is_followable(emb):
+    """r10 advice: an n_tables=1 estimate in the byte-drift guard
+    zone (budget/1.7 < est <= budget) resolves single-pass, and the
+    eager_passes warning must give advice a 1-table caller can follow
+    (increase n_tables) — never 'pass tables_per_pass=K'."""
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        probe = mp_mode_report(
+            emb, "vec_id", "embedding", n_tables=1,
+            broadcast_corpus=False, sizing="model",
+            disk_budget_bytes=1 << 60,
+        )
+    est = probe["est_stream_bytes"]
+    assert est and est > 0
+    budget = est  # guard zone: est <= budget < est * 1.7
+    assert est * sim.MP_BYTE_DRIFT_GUARD > budget
+    with pytest.warns(RuntimeWarning, match="Increase n_tables") as rec:
+        mp_mode_report(
+            emb, "vec_id", "embedding", n_tables=1,
+            broadcast_corpus=False, sizing="model",
+            eager_passes=True, disk_budget_bytes=budget,
+        )
+    msg = str(
+        [w for w in rec if "auto-sizer" in str(w.message)][0].message
+    )
+    assert "Pass tables_per_pass" not in msg

@@ -523,3 +523,56 @@ def test_prod_multiprobe_planted_recall_floor(spark):
     got = _pairs(prod_near_dup_pairs(df, "vec_id", "embedding"))
     assert not got - exact  # exact verify => zero false positives
     assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_multitable_kernel_buckets_bit_identical(spark, sf_dir):
+    """r10 verdict #2: the Arrow-batched bucket kernel
+    (lsh_multitable_buckets_kernel) must reproduce the literal-fold
+    buckets EXACTLY at both registered operating points — including
+    degenerate vectors (NULL, null elements, wrong length), which the
+    fold maps to bucket 0 in every table via the NULL dot."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        lsh_multitable_buckets,
+        lsh_multitable_buckets_kernel,
+    )
+    from canadiannewsdatapipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    degen = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, [None] * 64),
+            (100003, [1.0] * 63),  # short: zip_with pads -> NULL dot
+            (100004, [1.0] * 65),  # long: plane side pads -> NULL dot
+            (100005, [0.0] * 64),  # valid zero vector: dot 0 -> bit 1
+            (100006, [1.0] * 32 + [None] + [1.0] * 31),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for frame in (emb, degen):
+        for n_tables, n_planes in ((12, 5), (16, 4)):
+            fold = {
+                (r.id, r.tbl, r.bucket)
+                for r in lsh_multitable_buckets(
+                    frame, "vec_id", "embedding", n_tables, n_planes, 64
+                ).collect()
+            }
+            kern = {
+                (r.id, r.tbl, r.bucket)
+                for r in lsh_multitable_buckets_kernel(
+                    frame, "vec_id", "embedding", n_tables, n_planes, 64
+                ).collect()
+            }
+            assert kern == fold
+    # and the degenerate rows really land on bucket 0 everywhere
+    zeros = {
+        r.id
+        for r in lsh_multitable_buckets_kernel(
+            degen, "vec_id", "embedding", 12, 5, 64
+        )
+        .filter(F.col("bucket") != 0)
+        .collect()
+    }
+    assert zeros == {100005}  # only the valid all-zero vector hashes
