@@ -778,18 +778,23 @@ MP_BYTE_DRIFT_GUARD = 1.7
 
 
 def _mp_k_from_estimate(
-    est: int, n_tables: int, disk_budget_bytes: int
+    est: int,
+    n_tables: int,
+    disk_budget_bytes: int,
+    guard: float = MP_BYTE_DRIFT_GUARD,
 ) -> int | None:
     """The K rule itself, taking an estimate from ANY source (the
     open-loop byte model, the model x a skew factor, or the exact
     data-driven candidate count — r9): K = ceil(n_tables /
     ceil(est / budget)), or ``None`` (single-pass) when the stream
-    fits WITH the byte-drift guard's headroom
-    (``MP_BYTE_DRIFT_GUARD`` — r10: estimates inside
+    fits WITH the boundary guard's headroom (estimates inside
     [budget/guard, budget] chunk minimally instead of risking the
     measured bounded breach) or chunking cannot subdivide the table
-    list."""
-    if est * MP_BYTE_DRIFT_GUARD <= disk_budget_bytes:
+    list. ``guard`` defaults to the static ``MP_BYTE_DRIFT_GUARD``
+    (the zero-knowledge 1.7x hedge); the r11 two-term estimate —
+    whose survivor term MODELS the drift the static guard hedged —
+    passes the narrower ``MP_TWO_TERM_RESIDUAL_GUARD``."""
+    if est * guard <= disk_budget_bytes:
         return None
     n_passes = min(
         max(-(-est // disk_budget_bytes), 2), n_tables
@@ -908,6 +913,123 @@ def _mp_exact_candidate_count(
     ordered = row["ordered"] or 0
     selfs = row["selfs"] or 0
     return max((ordered - selfs) // 2, 0)
+
+
+# Screen-sample sizing (r11, r10 verdict #3): target sampled
+# candidate volume and the evidence floor. 250k sampled candidates
+# put the binomial std-error of the pass fraction under ~0.1% even
+# at a 10% true fraction; below 2000 the guard-zone refinement
+# declines and the static byte-drift guard stays in force.
+MP_SCREEN_SAMPLE_TARGET = 250_000
+MP_SCREEN_SAMPLE_MIN = 2_000
+
+# Residual single-pass guard ON the two-term estimate: the sampled
+# survivor fraction closes the systematic drift term (measured
+# 1.03-1.64x on the r10 NC curve), but the sample has error and the
+# 70 B / 1 KB slopes are calibration. 1.15 covers both without
+# re-creating the 1.7x blanket zone it replaces; re-measured on the
+# same 4 NC rungs in SCALE_LADDER_SKEW_CURVE_r11.json.
+MP_TWO_TERM_RESIDUAL_GUARD = 1.15
+
+
+def _mp_sampled_survivor_frac(
+    e: DataFrame,
+    pool: int,
+    n_bits: int,
+    n_tables: int,
+    probe_radius: int,
+    hamming_max: int,
+    dim: int,
+    n_candidates_exact: int,
+    target: int = MP_SCREEN_SAMPLE_TARGET,
+) -> tuple[float, int] | None:
+    """Candidate-weighted Hamming-screen pass fraction, estimated on
+    a deterministic id-sample of the corpus — the measured input the
+    two-term byte model needs BEFORE any pass runs (the pilot can
+    only measure after the single-pass/chunk decision is spent).
+
+    Sampling ids uniformly at rate q thins the candidate stream to
+    ~q² of its pairs with each bucket's contribution scaled equally
+    (E[sampled pairs from bucket b] = q²·pc(b)·hc(b)), so the mean of
+    the screen predicate over the sampled stream is an unbiased
+    estimator of the true candidate-weighted pass fraction — the
+    quantity the survivor term multiplies. q is derived from the
+    EXACT candidate count (already computed on this path) to land
+    ~``target`` sampled candidates; a thin result (<
+    ``MP_SCREEN_SAMPLE_MIN``) returns ``None`` and the caller keeps
+    the static guard. The id hash is seeded and content-free, so
+    reruns sample identically.
+
+    Cost disclosure: ONE job, linear in q·N signature rows plus the
+    ~``target`` sampled candidate rows — the same disclosed
+    construction-time eagerness class as the exact count it refines,
+    and run only in the guard zone where the single-pass decision is
+    razor-edge."""
+    if n_candidates_exact <= 0:
+        return None
+    import math
+
+    q = min(1.0, math.sqrt(target / n_candidates_exact))
+    m = 1 << 20
+    keep = max(1, int(q * m))
+    samp = e.filter(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(9173)), F.lit(m)) < keep
+    )
+    n_words = pool // _WORD_BITS
+    sig_schema = (
+        "id long, "
+        + ", ".join(f"w{m_} long" for m_ in range(n_words))
+        + ", bk array<long>"
+    )
+    sigs = samp.mapInPandas(
+        _mp_signature_gen(pool, n_bits, n_tables, dim), sig_schema
+    )
+    homes = sigs.select(
+        "id",
+        *[f"w{m_}" for m_ in range(n_words)],
+        F.posexplode("bk").alias("tbl", "bucket"),
+    )
+    masks = _probe_masks(n_bits, probe_radius)
+    mask_arr = F.expr("array(" + ",".join(str(v) for v in masks) + ")")
+    probes = homes.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"w{m_}").alias(f"wa{m_}") for m_ in range(n_words)],
+        "tbl",
+        F.explode(mask_arr).alias("mask"),
+        "bucket",
+    ).select(
+        "id_a",
+        *[f"wa{m_}" for m_ in range(n_words)],
+        "tbl",
+        F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+    )
+    hb = homes.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"w{m_}").alias(f"wb{m_}") for m_ in range(n_words)],
+        "tbl",
+        "bucket",
+    )
+    hamming = None
+    for m_ in range(n_words):
+        term = F.bit_count(
+            F.col(f"wa{m_}").bitwiseXOR(F.col(f"wb{m_}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    row = (
+        probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg((hamming <= F.lit(hamming_max)).cast("double")).alias(
+                "frac"
+            ),
+        )
+        .collect()[0]
+    )
+    n_sampled = int(row["n"] or 0)
+    if n_sampled < MP_SCREEN_SAMPLE_MIN:
+        return None
+    return float(row["frac"]), n_sampled
 
 
 def _observed_shuffle_write_bytes(sc) -> int | None:
@@ -1848,6 +1970,7 @@ def _mp_resolve_mode(
     disk_budget_bytes: int | None,
     skew_factor: float | None,
     sizing: str,
+    hamming_max: int | None = None,
 ) -> dict:
     """THE multiprobe mode-resolution logic — one code path shared by
     ``ann_lsh_multiprobe_pairs`` (which executes what this decides)
@@ -1974,6 +2097,8 @@ def _mp_resolve_mode(
     unknown_size = False
     sizing_effective: str | None = None
     model_worst_case: int | None = None
+    screen_sample: dict | None = None
+    single_pass_guard = MP_BYTE_DRIFT_GUARD
     if not broadcast_corpus and not explicit_k:
         # The auto-sizer (r7 verdict #1): the sizing rule
         # (SCALE.md §Round-7) as mechanism, so the shuffle tier never
@@ -2109,6 +2234,37 @@ def _mp_resolve_mode(
                 est = auto_model_floor
                 est_source = "data+model-floor"
             budget_consulted = True
+            # r11 (r10 verdict #3): in the byte-drift GUARD ZONE —
+            # est fits the budget but est x 1.7 does not, exactly
+            # where the r10 static guard forced a minimal chunk on
+            # no evidence — measure the screen-pass fraction on a
+            # candidate sample and re-estimate with the two-term
+            # model (base ~70 B + survivors' ~1 KB vector attach).
+            # The drift the 1.7x hedged is SYSTEMATIC in that
+            # fraction (measured 1.03->1.64x on the NC curve), so
+            # the measured-fraction estimate replaces the blanket
+            # guard with a narrow residual one; a thin sample keeps
+            # the static guard. n_tables=1 is skipped: no K decision
+            # can change, so the job would buy nothing.
+            if (
+                hamming_max is not None
+                and n_tables > 1
+                and est <= disk_budget_bytes
+                and est * MP_BYTE_DRIFT_GUARD > disk_budget_bytes
+            ):
+                sampled = _mp_sampled_survivor_frac(
+                    e, pool, n_bits, n_tables, probe_radius,
+                    hamming_max, dim, n_candidates,
+                )
+                if sampled is not None:
+                    frac, n_sampled = sampled
+                    est = max(_mp_two_term_bytes(n_candidates, frac), est)
+                    est_source += "+screen-sample"
+                    screen_sample = {
+                        "survivor_frac": round(frac, 4),
+                        "sampled_candidates": n_sampled,
+                    }
+                    single_pass_guard = MP_TWO_TERM_RESIDUAL_GUARD
         elif unknown_size:
             # r8 advice: the sentinel MODEL estimate carries no
             # information; chunking on it would run n_tables eager
@@ -2149,7 +2305,7 @@ def _mp_resolve_mode(
             budget_consulted = True
         if est is not None:
             tables_per_pass = _mp_k_from_estimate(
-                est, n_tables, disk_budget_bytes
+                est, n_tables, disk_budget_bytes, guard=single_pass_guard
             )
             if tables_per_pass is None:
                 if eager_passes:
@@ -2254,6 +2410,10 @@ def _mp_resolve_mode(
         "est_pass_bytes": est_pass_bytes,
         "adaptive": adaptive,
         "pilot_tables": pilot_tables,
+        "screen_sample": screen_sample,
+        "single_pass_guard": (
+            single_pass_guard if budget_consulted else None
+        ),
     }
 
 
@@ -2316,12 +2476,22 @@ def mp_mode_report(
     fast path engages only near the broadcast gate). The count is the
     one linear job the operator itself would run
     (``_mp_exact_candidate_count``); that is the documented price in
-    both places. ``sizing='model'`` is the fully-lazy opt-out."""
-    del threshold, hamming_max  # resolution is threshold-independent
+    both places. ``sizing='model'`` is the fully-lazy opt-out.
+
+    r11: ``hamming_max`` is no longer ignored — when the data-sized
+    estimate lands in the byte-drift guard zone, the resolution runs
+    the guard-zone screen sample (one more linear job, same disclosed
+    class) and reports ``screen_sample`` / the narrowed
+    ``single_pass_guard``, exactly like the operator. ``None`` keeps
+    the static guard (the report then shows what a hamming-blind
+    resolution would do). ``threshold`` stays ignored — candidate
+    volume is threshold-independent."""
+    del threshold  # resolution is threshold-independent
     return _mp_resolve_mode(
         emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
         broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,
         eager_passes, disk_budget_bytes, skew_factor, sizing,
+        hamming_max=hamming_max,
     )
 
 
@@ -2484,6 +2654,7 @@ def ann_lsh_multiprobe_pairs(
         emb, id_col, vec_col, pool, n_bits, n_tables, probe_radius, dim,
         broadcast_corpus, broadcast_max_input_bytes, tables_per_pass,
         eager_passes, disk_budget_bytes, skew_factor, sizing,
+        hamming_max=hamming_max,
     )
     return _exact_dup_cascade(
         emb,

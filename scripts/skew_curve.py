@@ -77,9 +77,12 @@ def child(sf_dir: str, budget: int) -> int:
         disk_budget_bytes=budget, **common,
     )
     # ... and the zero-knob 'auto' resolution (runs the count job
-    # whenever the worst-case bound exceeds the budget)
+    # whenever the worst-case bound exceeds the budget; r11: passes
+    # hamming_max so the guard-zone screen sample — which the run
+    # itself consults — shows up in the recorded decision too)
     auto_rep = mp_mode_report(
-        emb, "vec_id", "embedding", disk_budget_bytes=budget, **common,
+        emb, "vec_id", "embedding", disk_budget_bytes=budget,
+        hamming_max=_MP_HAMMING, **common,
     )
     sim.LAST_MP_SIZING_REPORT = None
     sc = spark.sparkContext

@@ -616,3 +616,121 @@ def test_guard_zone_single_table_advice_is_followable(emb):
         [w for w in rec if "auto-sizer" in str(w.message)][0].message
     )
     assert "Pass tables_per_pass" not in msg
+
+
+# ---------------------------------------------------------------------------
+# 5. r11: the two-term byte model + guard-zone screen sample
+#    (r10 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def test_two_term_bytes_model():
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _MP_CANDIDATE_ROW_BYTES,
+        _MP_SURVIVOR_ROW_BYTES,
+        _mp_two_term_bytes,
+    )
+
+    # frac=0 reduces to the flat model; monotone >= it always
+    assert _mp_two_term_bytes(1000, 0.0) == 1000 * _MP_CANDIDATE_ROW_BYTES
+    assert _mp_two_term_bytes(1000, 1.0) == 1000 * (
+        _MP_CANDIDATE_ROW_BYTES + _MP_SURVIVOR_ROW_BYTES
+    )
+    # the measured r10 drift point: a ~4.4% pass fraction blends to
+    # ~115 B/candidate = the 1.64x the NC=1024 rung observed
+    assert _mp_two_term_bytes(10_000, 0.044) == pytest.approx(
+        10_000 * 115, rel=0.01
+    )
+    with pytest.raises(ValueError):
+        _mp_two_term_bytes(10, 1.5)
+
+
+def test_k_rule_guard_param():
+    """guard=1.0 removes the boundary zone entirely; the narrowed
+    residual guard shrinks it without touching interior K."""
+    budget = 1000
+    # est in the old zone (budget/1.7, budget]: static guard chunks,
+    # guard=1.0 single-passes, the 1.15 residual still chunks at the
+    # very edge
+    est = 900
+    assert _mp_k_from_estimate(est, 16, budget) == 8  # 1.7x guard
+    assert _mp_k_from_estimate(est, 16, budget, guard=1.0) is None
+    assert _mp_k_from_estimate(est, 16, budget, guard=1.15) == 8
+    # est below budget/1.15: every guard single-passes
+    assert _mp_k_from_estimate(800, 16, budget, guard=1.15) is None
+    # interior est: guard-independent
+    for g in (1.0, 1.15, sim.MP_BYTE_DRIFT_GUARD):
+        assert _mp_k_from_estimate(3500, 16, budget, guard=g) == 4
+
+
+def test_screen_sample_estimator_bounds(spark, emb):
+    """Direct estimator pins: hamming_max >= pool passes every
+    candidate (frac 1.0); hamming_max < 0 passes none (frac 0.0);
+    and the sampled count clears the evidence floor on this corpus."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _as_double,
+        _mp_sampled_survivor_frac,
+    )
+
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double("embedding").alias("v"),
+    )
+    n_cand = 200_000  # order-of-magnitude is enough to derive q
+    hi = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, 252, 64, n_cand)
+    lo = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, -1, 64, n_cand)
+    assert hi is not None and lo is not None
+    frac_hi, n_hi = hi
+    frac_lo, n_lo = lo
+    assert frac_hi == 1.0 and frac_lo == 0.0
+    assert n_hi == n_lo >= sim.MP_SCREEN_SAMPLE_MIN
+
+
+def test_guard_zone_screen_sample_routes_the_decision(emb):
+    """In the byte-drift guard zone the resolution must measure, not
+    hedge: a measured frac=0 single-passes where the static 1.7x
+    forced a chunk; a measured frac=1 sizes the chunk from the
+    two-term estimate. Both decisions carry the evidence in the
+    report."""
+    common = dict(
+        pool=252, n_bits=12, n_tables=16, probe_radius=1,
+        broadcast_corpus=False,
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        probe = mp_mode_report(
+            emb, "vec_id", "embedding", sizing="data",
+            disk_budget_bytes=1 << 60, **common,
+        )
+    est = probe["est_exact_bytes"]
+    assert est and probe["est_source"] == "data"
+    budget = int(est * 1.3)  # zone: est <= budget < est * 1.7
+    # hamming-blind resolution: static guard -> minimal chunk
+    # (sizing='data' everywhere below so the auto model-floor cannot
+    # move the estimate out of the zone on this uniform corpus)
+    blind = mp_mode_report(
+        emb, "vec_id", "embedding", sizing="data",
+        disk_budget_bytes=budget, **common,
+    )
+    assert blind["screen_sample"] is None
+    assert blind["single_pass_guard"] == sim.MP_BYTE_DRIFT_GUARD
+    assert blind["tables_per_pass"] == 8  # 2 minimal passes
+    # frac=0 evidence (nothing survives a -1 screen): single-pass
+    lo = mp_mode_report(
+        emb, "vec_id", "embedding", hamming_max=-1, sizing="data",
+        disk_budget_bytes=budget, **common,
+    )
+    assert lo["screen_sample"]["survivor_frac"] == 0.0
+    assert lo["est_source"] == "data+screen-sample"
+    assert lo["single_pass_guard"] == sim.MP_TWO_TERM_RESIDUAL_GUARD
+    assert lo["tables_per_pass"] is None
+    assert lo["est_stream_bytes"] == est
+    # frac=1 evidence (everything survives): two-term sized chunk,
+    # strictly finer than the blind minimal chunk
+    hi = mp_mode_report(
+        emb, "vec_id", "embedding", hamming_max=252, sizing="data",
+        disk_budget_bytes=budget, **common,
+    )
+    assert hi["screen_sample"]["survivor_frac"] == 1.0
+    assert hi["est_stream_bytes"] > est * 10
+    assert hi["tables_per_pass"] < blind["tables_per_pass"]
