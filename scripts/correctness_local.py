@@ -19,9 +19,14 @@ set since round 2, so ~127 registered queries would otherwise have no
 machine-readable correctness row at all (r6 verdict #4).
 
 Usage:  python scripts/correctness_local.py OUT.json [--skip-build]
+            [--clustered-seed S]
 (~25-40 min total on this box — run in tmux; warehouses are built
 deterministically under /tmp/correctness_local and kept for reruns
-with --skip-build)
+with --skip-build. The clustered section rotates its content seed
+per run — default rYYYYMMDD, r10 verdict #6, recorded in the
+artifact — so the standing stressor cannot be memorized by
+calibration; --skip-build rebuilds it whenever the kept warehouse's
+CONTENT_SEED differs.)
 """
 
 from __future__ import annotations
@@ -47,12 +52,14 @@ NOTE = (
     "r10 (r9 verdict #2) - the adversarial clustered-embedding "
     "warehouse (NC=16, eps=0.01 over sf0.1 row counts, ~124k true "
     "near-dup pairs), the corpus shape that broke the r8 sizing "
-    "model, now a standing correctness stressor. Reproduce: "
-    "python scripts/correctness_local.py OUT.json"
+    "model, now a standing correctness stressor on a PER-ROUND "
+    "content seed (r10 verdict #6; see clustered_content_seed). "
+    "Reproduce: python scripts/correctness_local.py OUT.json "
+    "--clustered-seed <recorded seed>"
 )
 
 
-def build_warehouses(skip: bool) -> dict[str, str]:
+def build_warehouses(skip: bool, clustered_seed: str) -> dict[str, str]:
     import duckdb
 
     from scale_ladder import build_rung
@@ -71,14 +78,29 @@ def build_warehouses(skip: bool) -> dict[str, str]:
     for name, (k, mode) in specs.items():
         out = dirs[name]
         marker = os.path.join(out, "LADDER_MODE")
+        seed_marker = os.path.join(out, "CONTENT_SEED")
         if skip and os.path.isfile(marker):
-            continue
+            if mode != "clustered":
+                continue
+            # r10 verdict #6: the clustered stressor rotates content
+            # per round — a kept warehouse only survives --skip-build
+            # if it was built with THIS seed
+            if (
+                os.path.isfile(seed_marker)
+                and open(seed_marker).read().strip() == clustered_seed
+            ):
+                continue
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         if mode == "clustered":
             os.environ["SPARK_GRAFT_LADDER_CLUSTERS"] = "16"
             os.environ["SPARK_GRAFT_LADDER_CLUSTER_EPS"] = "0.01"
+            os.environ["SPARK_GRAFT_LADDER_CONTENT_SEED"] = clustered_seed
         build_rung(duckdb.connect(), k, out, mode)
+        if mode == "clustered":
+            del os.environ["SPARK_GRAFT_LADDER_CONTENT_SEED"]
+            with open(seed_marker, "w") as fh:
+                fh.write(clustered_seed)
         print(f"built {name} -> {out}", flush=True)
     os.sync()
     return dirs
@@ -91,7 +113,17 @@ def main() -> int:
         return 2
     out_path = argv[0]
     skip = "--skip-build" in argv
-    dirs = build_warehouses(skip)
+    # r10 verdict #6: the clustered stressor draws a fresh content
+    # seed per run (default: the build date) so a fixed-seed corpus
+    # cannot be memorized by calibration; pin with --clustered-seed
+    # for byte-reproducible reruns of a given artifact.
+    if "--clustered-seed" in argv:
+        clustered_seed = argv[argv.index("--clustered-seed") + 1]
+    else:
+        import time as _time
+
+        clustered_seed = "r" + _time.strftime("%Y%m%d")
+    dirs = build_warehouses(skip, clustered_seed)
     sections = {}
     for name, whs in dirs.items():
         part = f"{BASE}/part_{name.replace('.', '_')}.json"
@@ -127,8 +159,24 @@ def main() -> int:
             print(f"ERROR: {name} has {n_bad} failing queries", file=sys.stderr)
             return 1
     with open(out_path, "w") as fh:
-        json.dump({"_note": NOTE, "warehouses": sections}, fh, indent=1)
-    print(json.dumps({"written": out_path, "sections": list(sections)}))
+        json.dump(
+            {
+                "_note": NOTE,
+                "clustered_content_seed": clustered_seed,
+                "warehouses": sections,
+            },
+            fh,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "written": out_path,
+                "sections": list(sections),
+                "clustered_content_seed": clustered_seed,
+            }
+        )
+    )
     return 0
 
 

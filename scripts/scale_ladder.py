@@ -519,19 +519,32 @@ def _cluster_vec_sql() -> str:
     members share their n_bits LSH bucket in almost every table —
     the bucket-concentration shape the uniform byte model cannot
     see. No i=0 passthrough: uniform originals would dilute the
-    skew under measurement."""
+    skew under measurement.
+
+    SPARK_GRAFT_LADDER_CONTENT_SEED (r11, r10 verdict #6) prefixes
+    the md5 keys so each round's standing clustered stressor draws
+    FRESH centers and noise — the adversarial content cannot be
+    memorized by calibration. Empty/unset keeps the r9/r10 legacy
+    corpus bit-for-bit (the measured history stays reproducible)."""
     nc = int(os.environ.get("SPARK_GRAFT_LADDER_CLUSTERS", "16"))
     eps = float(os.environ.get("SPARK_GRAFT_LADDER_CLUSTER_EPS", "0.01"))
+    seed = os.environ.get("SPARK_GRAFT_LADDER_CONTENT_SEED", "")
+    if not seed.isalnum() and seed != "":
+        raise ValueError(
+            "SPARK_GRAFT_LADDER_CONTENT_SEED must be alphanumeric, "
+            f"got {seed!r}"
+        )
+    pre = f"'{seed}:' || " if seed else ""
     unit = (
         "(CAST(concat('0x', substr(md5({key}), 1, 6)) AS BIGINT)"
         " / 8388607.5 - 1.0)"
     )
     center = unit.format(
-        key=f"'c:' || CAST(vec_id % {nc} AS VARCHAR) || ':' "
+        key=f"{pre}'c:' || CAST(vec_id % {nc} AS VARCHAR) || ':' "
         "|| CAST(j AS VARCHAR)"
     )
     noise = unit.format(
-        key="'n:' || CAST(vec_id AS VARCHAR) || ':' "
+        key=f"{pre}'n:' || CAST(vec_id AS VARCHAR) || ':' "
         "|| CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
     )
     return (
