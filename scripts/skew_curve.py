@@ -112,6 +112,8 @@ def child(sf_dir: str, budget: int) -> int:
             "eager_passes": auto_rep["eager_passes"],
             "pilot_tables": auto_rep["pilot_tables"],
             "adaptive": auto_rep["adaptive"],
+            "screen_sample": auto_rep.get("screen_sample"),
+            "single_pass_guard": auto_rep.get("single_pass_guard"),
         },
         "run": {
             "sec": round(wall, 3),
