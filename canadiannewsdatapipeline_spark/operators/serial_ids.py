@@ -133,10 +133,25 @@ def assign_serial_ids(
                 seen.add(t)
                 bounds.append(b)
 
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(key >= lit_key(b), 1).otherwise(0)
-    tagged = df.withColumn("_sid_bucket", bucket.cast("int"))
+    def bucket_expr(lo: int, hi: int) -> F.Column:
+        """Bucket index for keys known to fall in [lo, hi] — a
+        binary-search CASE tree over the boundary literals. bounds[i]
+        is the lower edge of bucket i+1, so bucket(row) = #{bounds <=
+        key}; the tree evaluates ~log2(n_buckets) struct compares per
+        row where a linear when-chain would average n_buckets/2 —
+        this expression runs in BOTH downstream scans (the counts job
+        and the returned plan), on every row of the batch."""
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2  # key >= bounds[mid-1] => bucket >= mid
+        return (
+            F.when(key >= lit_key(bounds[mid - 1]), bucket_expr(mid, hi))
+            .otherwise(bucket_expr(lo, mid - 1))
+        )
+
+    tagged = df.withColumn(
+        "_sid_bucket", bucket_expr(0, len(bounds)).cast("int")
+    )
 
     counts = {
         r["_sid_bucket"]: r["count"]

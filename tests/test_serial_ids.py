@@ -35,15 +35,19 @@ def test_ids_match_global_row_number_multi_bucket(spark):
         F.concat(F.lit("u"), F.col("id").cast("string")).alias("b"),
         (F.col("id") * 3 % 11).alias("c"),
     )
-    got = assign_serial_ids(df, ["a", "b"], "id", n_buckets=8)
     want = _global_rank_ids(df, ["a", "b"])
     cols = ["a", "b", "c", "id"]
-    assert _rows_to_keyed(got.collect(), cols) == _rows_to_keyed(
-        want.collect(), cols
-    )
-    # dense 1..N
-    ids = sorted(r["id"] for r in got.collect())
-    assert ids == list(range(1, 501))
+    # 8 buckets (shallow CASE tree) and 64 (deep tree: more sampled
+    # boundaries than distinct shard shapes) must both reproduce the
+    # global rank exactly
+    for n_buckets in (8, 64):
+        got = assign_serial_ids(df, ["a", "b"], "id", n_buckets=n_buckets)
+        assert _rows_to_keyed(got.collect(), cols) == _rows_to_keyed(
+            want.collect(), cols
+        )
+        # dense 1..N
+        ids = sorted(r["id"] for r in got.collect())
+        assert ids == list(range(1, 501))
 
 
 def test_ids_stable_across_recompute_and_schema(spark):
