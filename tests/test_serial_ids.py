@@ -118,3 +118,18 @@ def test_empty_and_single_bucket_edges(spark):
     assert assign_serial_ids(one, ["a", "b"]).collect()[0]["id"] == 1
     with pytest.raises(ValueError):
         assign_serial_ids(one, [])
+
+
+def test_mixed_type_sort_keys(spark):
+    """Boundary literals must round-trip non-string key types (the
+    lit_key cast path): int + string composite keys rank like the
+    global window."""
+    df = spark.range(300).select(
+        (F.col("id") % 17).alias("k1"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("k2"),
+    )
+    got = assign_serial_ids(df, ["k1", "k2"], "id", n_buckets=6)
+    want = _global_rank_ids(df, ["k1", "k2"])
+    assert {(r["k1"], r["k2"]): r["id"] for r in got.collect()} == {
+        (r["k1"], r["k2"]): r["id"] for r in want.collect()
+    }
