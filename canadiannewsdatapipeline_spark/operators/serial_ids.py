@@ -126,7 +126,7 @@ def assign_serial_ids(
         seen = set()
         for i in sorted(
             {(j * len(samp)) // n_buckets for j in range(1, n_buckets)}
-        ):
+        ) if samp else []:  # an unlucky empty sample => one bucket
             b = samp[i]["k"]
             t = tuple(b)
             if t not in seen:  # duplicate splitters collapse to one
