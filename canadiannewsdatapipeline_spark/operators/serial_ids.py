@@ -31,7 +31,18 @@ work as a three-phase plan, all linear, none single-partition:
 3. **Within-bucket row_number + offset** — the returned lazy plan.
    The window partitions by the bucket, so the sort parallelizes
    across buckets and the plan contains no SinglePartition exchange
-   (plan-asserted in tests/test_operators.py).
+   (plan-asserted in tests/test_serial_ids.py).
+
+The input is persisted for the operator's lifetime (MEMORY_AND_DISK;
+ContextCleaner reclaims it once the result is unreferenced): the
+offsets are only correct if the counts job and the final pass see the
+SAME rows, and an ingest input behind a non-deterministic source (a
+live Fetcher) could otherwise drift between the internal jobs and
+the returned plan — and the persist also stops the upstream lineage
+(fetch -> parse -> validate) from executing once per internal job.
+The pure-function bucketing remains the second line of defense: for
+deterministic inputs a cache-evicted partition recomputes into the
+identical bucket.
 
 Comparison semantics: buckets compare ``struct(sort_cols) >=
 struct(literals)``. Spark's struct ordering is lexicographic with
@@ -81,9 +92,25 @@ def assign_serial_ids(
     three-phase shape and the determinism contract."""
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
+    # one pinned snapshot for the internal jobs AND the returned plan
+    # (see the module docstring); ContextCleaner unpersists it once
+    # the result is unreferenced
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     key = F.struct(*[F.col(c).alias(c) for c in sort_cols])
     total = df.count()
+    if total > 2**31 - 1:
+        # the id is INT for schema parity with the reference's SERIAL;
+        # Spark's non-ANSI long->int cast would WRAP past the ceiling
+        # (duplicate/negative ids) where Postgres errors — fail fast
+        # with the count already in hand
+        raise ValueError(
+            f"assign_serial_ids: {total} rows exceed the INT serial-id "
+            "ceiling (2^31-1); widen the id type deliberately instead "
+            "of wrapping"
+        )
     if n_buckets is None:
         # default: one bucket per _MIN_ROWS_PER_BUCKET rows, capped at
         # the session's shuffle parallelism. An EXPLICIT n_buckets is

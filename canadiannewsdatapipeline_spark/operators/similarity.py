@@ -258,6 +258,29 @@ def lsh_multitable_buckets(
     )
 
 
+def _md5_plane_matrix(keys: list[str], dim: int):
+    """The engine's md5 hyperplane formula (``_plane``: component j of
+    key k = (ascii(md5('k:j')[0]) % 7) - 3) as one float64 numpy
+    matrix, one row per key — the single construction both Arrow
+    kernels (``_mp_signature_gen`` / ``_multitable_signature_gen``)
+    build their sign tests from, so the formula the DuckDB oracles
+    mirror lives in exactly one place."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (ord(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0]) % 7) - 3
+                for j in range(dim)
+            ]
+            for k in keys
+        ],
+        dtype=np.float64,
+    )
+
+
 def _multitable_signature_gen(n_tables: int, n_planes: int, dim: int):
     """Arrow-batch bucket kernel for the multitable sign-LSH:
     (id, v) -> (id, per-table bucket array). Plane (t, p) component j
@@ -265,22 +288,11 @@ def _multitable_signature_gen(n_tables: int, n_planes: int, dim: int):
     once driver-side; bit p carries weight 2^p — both identical to the
     literal-fold form in ``lsh_multitable_buckets`` and mirrored in
     the DuckDB oracles (queries/llm.py::_LSH_BUCKETS_CTE)."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [
-            [
-                (ord(hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[0]) % 7)
-                - 3
-                for j in range(dim)
-            ]
-            for t in range(n_tables)
-            for p in range(n_planes)
-        ],
-        dtype=np.float64,
+    planes = _md5_plane_matrix(
+        [f"{t}:{p}" for t in range(n_tables) for p in range(n_planes)], dim
     )
     weights = (1 << np.arange(n_planes)).astype(np.int64)  # bit p -> 2^p
 
@@ -335,6 +347,10 @@ def lsh_multitable_buckets_kernel(
     e = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
+    # the id passes through the kernel untouched — declare its REAL
+    # type (the fold form never constrained it; a hardcoded `long`
+    # would break string/UUID ids at the Arrow boundary)
+    id_type = e.schema["id"].dataType.simpleString()
     degenerate = (
         F.col("v").isNull()
         | (F.size("v") != F.lit(dim))
@@ -342,7 +358,7 @@ def lsh_multitable_buckets_kernel(
     )
     clean = e.filter(~degenerate).mapInPandas(
         _multitable_signature_gen(n_tables, n_planes, dim),
-        "id long, bk array<long>",
+        f"id {id_type}, bk array<long>",
     )
     zeros = e.filter(degenerate).select(
         "id", F.array_repeat(F.lit(0).cast("long"), n_tables).alias("bk")
@@ -1470,6 +1486,10 @@ class _MpSizingFeedback:
         key = self._caller_group or self._group
         if key is not None:
             with _MP_REPORTS_LOCK:
+                # re-insert so an overwritten key moves to the fresh
+                # end — FIFO eviction must drop the STALEST report,
+                # not a just-updated one that kept an old slot
+                MP_SIZING_REPORTS.pop(key, None)
                 MP_SIZING_REPORTS[key] = report
                 while len(MP_SIZING_REPORTS) > MP_SIZING_REPORTS_MAX:
                     MP_SIZING_REPORTS.popitem(last=False)
@@ -1541,21 +1561,10 @@ def _mp_signature_gen(pool: int, n_bits: int, n_tables: int, dim: int):
     bit-most-significant; table t's bucket packs its subset bits the
     same way — both formulas are mirrored literally in the DuckDB
     oracle (queries/llm.py::sim_ann_lsh_multiprobe)."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
-    planes = np.array(
-        [
-            [
-                (ord(hashlib.md5(f"mp:{j}:{c}".encode()).hexdigest()[0]) % 7) - 3
-                for c in range(dim)
-            ]
-            for j in range(pool)
-        ],
-        dtype=np.float64,
-    )
+    planes = _md5_plane_matrix([f"mp:{j}" for j in range(pool)], dim)
     subs = np.array(_pool_subsets(pool, n_bits, n_tables), dtype=np.int64)
     weights = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
     n_words = pool // _WORD_BITS

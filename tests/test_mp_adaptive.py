@@ -734,3 +734,31 @@ def test_guard_zone_screen_sample_routes_the_decision(emb):
     assert hi["screen_sample"]["survivor_frac"] == 1.0
     assert hi["est_stream_bytes"] > est * 10
     assert hi["tables_per_pass"] < blind["tables_per_pass"]
+
+
+def test_reports_eviction_tracks_recency(monkeypatch):
+    """Review r11: overwriting an existing caller-group key must move
+    it to the fresh end — FIFO eviction drops the stalest report, not
+    a just-updated one that kept its old slot."""
+    sim.MP_SIZING_REPORTS.clear()
+    n = sim.MP_SIZING_REPORTS_MAX
+    _fake_group_tracker(
+        monkeypatch, [b for _ in range(n + 2) for b in (0, MB)]
+    )
+
+    def run(tag):
+        fb = _MpSizingFeedback(
+            sc=None, est_stream_bytes=MB, n_tables=2,
+            job_group=f"jg-{tag}", caller_group=tag,
+        )
+        fb.after_pass(2)
+        fb.finish()
+
+    run("etl")  # oldest slot
+    for i in range(n - 1):  # fill to capacity
+        run(f"g{i}")
+    run("etl")  # refresh: must move to the fresh end
+    run("new")  # evicts ONE entry — must be g0, not etl
+    assert "etl" in sim.MP_SIZING_REPORTS
+    assert "g0" not in sim.MP_SIZING_REPORTS
+    assert len(sim.MP_SIZING_REPORTS) == n

@@ -576,3 +576,27 @@ def test_multitable_kernel_buckets_bit_identical(spark, sf_dir):
         .collect()
     }
     assert zeros == {100005}  # only the valid all-zero vector hashes
+
+
+def test_multitable_kernel_preserves_id_type(spark):
+    """Review r11: the kernel schema must carry the INPUT id type —
+    the fold form never constrained it, and a hardcoded long crashed
+    string/UUID ids at the Arrow boundary."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        lsh_multitable_buckets,
+        lsh_multitable_buckets_kernel,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", [float((i * 7 + j) % 5 - 2) for j in range(64)])
+         for i in range(8)],
+        "sid string, v array<double>",
+    )
+    fold = {
+        (r.id, r.tbl, r.bucket)
+        for r in lsh_multitable_buckets(df, "sid", "v", 4, 3, 64).collect()
+    }
+    kern_df = lsh_multitable_buckets_kernel(df, "sid", "v", 4, 3, 64)
+    assert dict(kern_df.dtypes)["id"] == "string"
+    kern = {(r.id, r.tbl, r.bucket) for r in kern_df.collect()}
+    assert kern == fold
