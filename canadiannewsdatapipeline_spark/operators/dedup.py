@@ -207,10 +207,11 @@ def _collapse_identical(df: DataFrame, text_col: str, id_col: str):
       this join).
 
     Both frames are persisted — groups feeds the shingle pipeline and
-    the within-group expansion, mapping feeds two expansion joins;
-    Spark's ContextCleaner unpersists them once the query's RDDs are
-    unreferenced (same lifecycle the signature persists below rely
-    on). Tokenization runs twice (once per frame), map-side only."""
+    the within-group expansion, mapping feeds two expansion joins.
+    Cache lifecycle (corrected r12, r11 advice): Dataset persists
+    register in the session CacheManager and are NOT ContextCleaner-
+    reclaimed — unpersist/clearCache between repeated runs in one
+    session. Tokenization runs twice (once per frame), map-side only."""
     from pyspark.storagelevel import StorageLevel
 
     t = tokens_col(text_col)
@@ -500,8 +501,9 @@ def lsh_verified_pairs(
     and only when 1.0 >= threshold.
 
     The signature aggregate is persisted (it feeds banding AND the
-    verify lookups); Spark's ContextCleaner unpersists it once
-    unreferenced; on a 100 TB run swap the persist for a checkpoint to
+    verify lookups); the cache entry lives in the session CacheManager
+    until explicitly unpersisted (not ContextCleaner-reclaimed — r11
+    advice); on a 100 TB run swap the persist for a checkpoint to
     cluster storage (the same two-phase shape plans/runner.py uses).
     Shingle sizes ride along as one extra COUNT column instead of a
     second aggregation over the shingles.

@@ -19,7 +19,7 @@ work as a three-phase plan, all linear, none single-partition:
    collected to the driver — a few KB). The sampled keys become
    literal range boundaries; bucket(row) = #{boundaries <= key} is
    then a PURE FUNCTION of the row, so every downstream job re-derives
-   the identical bucketing on recompute — no persist is needed for
+   the identical bucketing on recompute — no snapshot is needed for
    determinism, unlike ``repartitionByRange`` whose boundary sampling
    re-seeds per action. Balance (not correctness) depends on the
    sample: ids equal the global rank for ANY boundary set, because
@@ -33,16 +33,34 @@ work as a three-phase plan, all linear, none single-partition:
    across buckets and the plan contains no SinglePartition exchange
    (plan-asserted in tests/test_serial_ids.py).
 
-The input is persisted for the operator's lifetime (MEMORY_AND_DISK;
-ContextCleaner reclaims it once the result is unreferenced): the
+Snapshot pinning (``pin``, reworked r12 on the r11 advice): the
 offsets are only correct if the counts job and the final pass see the
-SAME rows, and an ingest input behind a non-deterministic source (a
-live Fetcher) could otherwise drift between the internal jobs and
-the returned plan — and the persist also stops the upstream lineage
-(fetch -> parse -> validate) from executing once per internal job.
-The pure-function bucketing remains the second line of defense: for
-deterministic inputs a cache-evicted partition recomputes into the
-identical bucket.
+SAME row multiset, so an input whose lineage can drift between jobs —
+a live Fetcher behind ``mapInPandas``, a mutable JDBC table, any
+non-deterministic expression — must be pinned to one snapshot first.
+The r11 form pinned with ``persist(MEMORY_AND_DISK)`` and claimed
+ContextCleaner would reclaim it; that claim was wrong for Dataset
+caches (the session CacheManager holds the plan until an explicit
+unpersist, so every batch leaked a cache entry, and a later identical
+ingest plan would silently plan-match the STALE snapshot). The pin is
+now ``localCheckpoint(eager=True)``: one materialization, RDD-level
+blocks with no CacheManager registration (no plan-matching, and the
+blocks ARE weak-reference-reclaimed by ContextCleaner once the result
+is unreferenced — true for RDD blocks, unlike Dataset caches). On a
+cluster, losing an executor loses checkpoint blocks and fails the
+job LOUDLY — the correct semantics for a snapshot whose silent
+recompute is exactly the drift hazard being pinned away.
+
+``pin=None`` (default) auto-detects: inputs whose optimized plan is
+built entirely from recompute-stable leaves (file relations, Range,
+local/cached data) through deterministic operators skip the pin —
+a parquet-backed batch cannot drift between the internal jobs and
+the returned plan, and skipping the snapshot keeps column pruning
+(the counts jobs scan only the sort keys) and the streaming write
+path. Anything unrecognized — ``mapInPandas`` seams, UDFs,
+non-deterministic expressions — pins. The auto-detector trusts
+RDD-backed inputs (``LogicalRDD``) as content-stable; pass
+``pin=True`` if yours wraps a non-deterministic RDD.
 
 Comparison semantics: buckets compare ``struct(sort_cols) >=
 struct(literals)``. Spark's struct ordering is lexicographic with
@@ -53,12 +71,17 @@ with the order the ids rank (verified empirically + pinned in tests).
 Determinism contract: bit-identical to the global ``row_number`` for
 UNIQUE sort keys (the pipeline's (source_name, url, title, author) is
 unique per record); tied keys order arbitrarily within the tie in both
-forms. Ids are INT for schema parity with the reference's SERIAL —
-the same 2^31 ceiling Postgres has.
+forms. Ids are INT by default for schema parity with the reference's
+SERIAL — the same 2^31 ceiling Postgres has, enforced with a fail-fast
+(Spark's non-ANSI long->int cast would silently WRAP past it where
+Postgres errors). ``id_type='long'`` opts into a BIGSERIAL-style id
+for >2^31-row backfills (r11 verdict #3: the hard stop needed a
+sanctioned way through).
 
 Cost disclosure: phases 1-2 RUN three small jobs at plan-construction
 time (the same disclosed eagerness class as the multiprobe's exact
-count — linear scans, trivial next to the ingest write they feed).
+count — linear scans, trivial next to the ingest write they feed),
+plus one full materialization when the input pins.
 """
 
 from __future__ import annotations
@@ -78,38 +101,118 @@ _BOUNDARY_OVERSAMPLE = 20
 # global window).
 _MIN_ROWS_PER_BUCKET = 1000
 
+# Logical-plan node names whose output row multiset is stable across
+# repeated jobs given stable leaves: deterministic relational
+# operators plus the leaf relations themselves. Used by the ``pin``
+# auto-detector — anything NOT listed (mapInPandas seams, UDF
+# transforms, streaming sources) conservatively pins. LogicalRDD
+# covers createDataFrame(local data) and prior checkpoints; see the
+# module docstring for the RDD-backed caveat.
+_STABLE_PLAN_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "LogicalRelation",
+        "HiveTableRelation",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        "InMemoryRelation",
+        "LogicalRDD",
+        "Union",
+        "Join",
+        "Aggregate",
+        "Sort",
+        "Window",
+        "Expand",
+        "Generate",
+        "Distinct",
+        "Deduplicate",
+        "GlobalLimit",
+        "LocalLimit",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "SubqueryAlias",
+        "View",
+        "Except",
+        "Intersect",
+    }
+)
+
+
+def _plan_is_recompute_stable(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan is recompute-stable:
+    every node is a known deterministic relational operator (the
+    allowlist above) and every expression reports deterministic.
+    Unknown node shapes — or any py4j failure while walking — return
+    False, which routes the caller to the safe (pinned) path."""
+
+    def walk(node) -> bool:
+        if node.nodeName() not in _STABLE_PLAN_NODES:
+            return False
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            if not exprs.apply(i).deterministic():
+                return False
+        children = node.children()
+        for i in range(children.size()):
+            if not walk(children.apply(i)):
+                return False
+        return True
+
+    try:
+        return walk(df._jdf.queryExecution().optimizedPlan())
+    except Exception:
+        return False
+
 
 def assign_serial_ids(
     df: DataFrame,
     sort_cols: list[str],
     id_col: str = "id",
     n_buckets: int | None = None,
+    id_type: str = "int",
+    pin: bool | None = None,
 ) -> DataFrame:
     """Append ``id_col`` = the 1-based global rank of each row under
     ``ORDER BY sort_cols`` (asc, nulls first) — the distributed,
     recompute-deterministic replacement for an unpartitioned
     ``row_number()`` window. See the module docstring for the
-    three-phase shape and the determinism contract."""
+    three-phase shape, the ``pin`` snapshot semantics, and the
+    determinism contract. ``id_type``: 'int' (SERIAL parity, 2^31-1
+    fail-fast ceiling) or 'long' (BIGSERIAL-style, for backfills past
+    the INT ceiling)."""
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
-    from pyspark.storagelevel import StorageLevel
+    if id_type not in ("int", "long"):
+        raise ValueError(
+            f"id_type must be 'int' or 'long' (got {id_type!r}); 'int' "
+            "matches the reference's SERIAL, 'long' is the sanctioned "
+            "path past the 2^31-row ceiling"
+        )
 
     spark = df.sparkSession
-    # one pinned snapshot for the internal jobs AND the returned plan
-    # (see the module docstring); ContextCleaner unpersists it once
-    # the result is unreferenced
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if pin is None:
+        pin = not _plan_is_recompute_stable(df)
+    if pin:
+        # one pinned snapshot for the internal jobs AND the returned
+        # plan — localCheckpoint, NOT persist (see the module
+        # docstring: Dataset caches leak in the CacheManager and
+        # plan-match later identical plans; checkpoint blocks do
+        # neither and are weak-ref reclaimed once unreferenced)
+        df = df.localCheckpoint(eager=True)
     key = F.struct(*[F.col(c).alias(c) for c in sort_cols])
     total = df.count()
-    if total > 2**31 - 1:
+    if id_type == "int" and total > 2**31 - 1:
         # the id is INT for schema parity with the reference's SERIAL;
         # Spark's non-ANSI long->int cast would WRAP past the ceiling
         # (duplicate/negative ids) where Postgres errors — fail fast
         # with the count already in hand
         raise ValueError(
             f"assign_serial_ids: {total} rows exceed the INT serial-id "
-            "ceiling (2^31-1); widen the id type deliberately instead "
-            "of wrapping"
+            "ceiling (2^31-1); pass id_type='long' to widen the id "
+            "deliberately instead of wrapping"
         )
     if n_buckets is None:
         # default: one bucket per _MIN_ROWS_PER_BUCKET rows, capped at
@@ -199,7 +302,7 @@ def assign_serial_ids(
         tagged.join(F.broadcast(offsets_df), "_sid_bucket")
         .withColumn(
             id_col,
-            (F.col("_sid_offset") + F.row_number().over(w)).cast("int"),
+            (F.col("_sid_offset") + F.row_number().over(w)).cast(id_type),
         )
         .drop("_sid_bucket", "_sid_offset")
     )

@@ -301,7 +301,13 @@ def _multitable_signature_gen(n_tables: int, n_planes: int, dim: int):
             if len(pdf) == 0:
                 continue
             vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bits = (np.round(vecs @ planes.T, 6) >= 0).astype(np.int64)
+            dots = np.round(vecs @ planes.T, 6)
+            # NaN parity (r11 advice): Spark SQL orders NaN above
+            # every value, so the fold form's `dot >= 0` yields bit 1
+            # on a NaN dot (a vector with a NaN element) — numpy's
+            # NaN >= 0 is False. OR-in isnan so the kernel stays
+            # bit-identical to the fold form on NaN rows too.
+            bits = ((dots >= 0) | np.isnan(dots)).astype(np.int64)
             buckets = (
                 bits.reshape(len(pdf), n_tables, n_planes) * weights
             ).sum(axis=2)
@@ -478,10 +484,12 @@ def ann_lsh_multitable_pairs(
     array. The member->rep ``mapping`` join is ids + key only; member
     vectors never shuffle. Both frames are persisted (groups feeds the
     rep pipeline and the within-group self-cosines, mapping feeds two
-    expansion joins); Spark's ContextCleaner unpersists them once the
-    query's RDDs are unreferenced — on a 100 TB run swap the persists
-    for checkpoints to cluster storage (the two-phase shape
-    plans/runner.py uses)."""
+    expansion joins). Cache lifecycle (corrected r12, r11 advice):
+    Dataset persists register in the session CacheManager and are NOT
+    ContextCleaner-reclaimed — a long-lived session that rebuilds this
+    operator repeatedly should ``unpersist()``/``clearCache()`` between
+    runs; on a 100 TB run swap the persists for checkpoints to cluster
+    storage (the two-phase shape plans/runner.py uses)."""
     return _exact_dup_cascade(
         emb,
         id_col,
@@ -1574,7 +1582,12 @@ def _mp_signature_gen(pool: int, n_bits: int, n_tables: int, dim: int):
             if len(pdf) == 0:
                 continue
             vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bits = (np.round(vecs @ planes.T, 6) >= 0).astype(np.int64)
+            dots = np.round(vecs @ planes.T, 6)
+            # NaN parity (r11 advice): match Spark's NaN-is-largest
+            # ordering (`dot >= 0` is TRUE on NaN in Spark SQL and in
+            # the DuckDB oracle; numpy alone says False) — see the
+            # multitable kernel's identical clause.
+            bits = ((dots >= 0) | np.isnan(dots)).astype(np.int64)
             out = {"id": pdf["id"].to_numpy()}
             for m in range(n_words):
                 seg = bits[:, m * _WORD_BITS : (m + 1) * _WORD_BITS]
@@ -1668,9 +1681,11 @@ def _ann_lsh_multiprobe_distinct(
     bound the shuffle tier's candidate exchanges by slicing the table
     list into K-table passes (see the chunking comment in the body).
     ``sigs`` is persisted: three consumers (homes, probes, signature
-    words) — and every chunked pass reuses the one materialization;
-    ContextCleaner unpersists when unreferenced, swap for checkpoints
-    on a cluster."""
+    words) — and every chunked pass reuses the one materialization.
+    The cache entry lives in the session CacheManager until explicitly
+    unpersisted (Dataset persists are NOT ContextCleaner-reclaimed —
+    r11 advice); unpersist/clearCache between repeated runs in one
+    session, swap for checkpoints on a cluster."""
     from pyspark.storagelevel import StorageLevel
 
     n_words = (pool + _WORD_BITS - 1) // _WORD_BITS
@@ -2758,7 +2773,8 @@ def ann_topk(
     de-duplicated (a pair colliding in several tables must rank once)
     before vectors are attached, so the dedup shuffles ids only. The
     corpus bucket frame is persisted — the query side reads it too;
-    Spark's ContextCleaner unpersists once unreferenced. Brute-force
+    the cache entry lives in the session CacheManager until explicitly
+    unpersisted (not ContextCleaner-reclaimed — r11 advice). Brute-force
     fallback volume is |short queries| x N — bounded by the ANN
     operating point. Worst case (ALL queries short, i.e. mistuned
     tables) measured at sf0.1: 0.95 s vs 0.37 s for ``cosine_topk``

@@ -80,7 +80,13 @@ def load_raw_news(combined: DataFrame, run_ts: str) -> DataFrame:
     """Validate (UD4), scrub authors (F14), assign deterministic serial
     ids, translate french rows (UD1, conditional overwrite), stamp
     ingest_ts (F17) — the reference's Load_to_Postgres +
-    Translate_French_Articles legs."""
+    Translate_French_Articles legs.
+
+    NOT a lazy plan builder (r11 advice): ``assign_serial_ids`` runs
+    its snapshot + count + boundary-sample + bucket-count jobs at CALL
+    time, executing the full fetch->parse->validate lineage — build
+    this only when the load will actually run, not speculatively for
+    plan inspection or dry-run scheduling."""
     validated = scrub_invalid_authors(validate(combined, news_record_rules()))
     kept = validated.filter(F.col("valid")).drop("valid", "reject_reason")
     with_ids = assign_serial_ids(
@@ -122,7 +128,10 @@ def run_ingestion(
     n_articles: int = 10,
 ) -> dict[str, DataFrame]:
     """End-to-end News_Ingestion: extract each source, combine, load,
-    run the model DAG; returns every materialized frame."""
+    run the model DAG; returns every materialized frame. Eager from
+    the ``load_raw_news`` call on (see its docstring): the extract
+    lineage executes inside this function, not at first action on the
+    returned frames."""
     extracts = []
     for _, pages in sorted(source_pages.items()):
         extracts.append(extract_source(pages, fetcher, parser, n_articles=n_articles))

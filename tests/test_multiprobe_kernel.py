@@ -98,6 +98,22 @@ def test_signature_words_and_buckets_pack_the_same_sign_bits():
             assert int(bks[t]) == expect
 
 
+def test_signature_kernel_nan_dot_sets_bit_like_spark():
+    """r11 advice: Spark SQL orders NaN above every value, so the fold
+    form's `dot >= 0` is TRUE on a NaN dot. The kernel must OR-in
+    isnan to stay bit-identical — a vector with a NaN element makes
+    every plane dot NaN, so all bits are 1 in both engines."""
+    gen = _mp_signature_gen(POOL, N_BITS, 4, DIM)
+    v = np.ones(DIM, dtype=np.float64)
+    v[7] = np.nan
+    pdf = pd.DataFrame({"id": [1], "v": [v]})
+    out = pd.concat(list(gen(iter([pdf]))), ignore_index=True)
+    n_words = POOL // _WORD_BITS
+    for m in range(n_words):
+        assert int(out[f"w{m}"][0]) == (1 << _WORD_BITS) - 1  # all 63 bits
+    assert all(int(b) == (1 << N_BITS) - 1 for b in out["bk"][0])
+
+
 def test_signature_kernel_skips_empty_batches():
     gen = _mp_signature_gen(POOL, N_BITS, 4, DIM)
     empty = pd.DataFrame({"id": [], "v": []})

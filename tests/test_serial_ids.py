@@ -120,6 +120,97 @@ def test_empty_and_single_bucket_edges(spark):
         assign_serial_ids(one, [])
 
 
+def test_id_type_long_matches_global_rank(spark):
+    """r11 verdict #3: id_type='long' is the sanctioned path past the
+    INT SERIAL ceiling — same ids, wider type, no 2^31 fail-fast."""
+    df = spark.range(300).select(
+        (F.col("id") % 13).cast("string").alias("a"),
+        F.col("id").cast("string").alias("b"),
+    )
+    got = assign_serial_ids(df, ["a", "b"], "rid", n_buckets=5,
+                            id_type="long")
+    assert dict(got.dtypes)["rid"] == "bigint"
+    want = _global_rank_ids(df, ["a", "b"], "rid")
+    assert {(r["a"], r["b"]): r["rid"] for r in got.collect()} == {
+        (r["a"], r["b"]): r["rid"] for r in want.collect()
+    }
+    with pytest.raises(ValueError, match="id_type"):
+        assign_serial_ids(df, ["a", "b"], id_type="uuid")
+
+
+def test_pin_auto_detection(spark, sf_dir):
+    """r11 verdict #3 + advice: a recompute-stable input (parquet /
+    range lineage) skips the snapshot — its scan survives into the
+    returned plan (column pruning stays alive) — while an opaque
+    mapInPandas seam pins to a localCheckpoint (ExistingRDD scan),
+    with no CacheManager entry either way."""
+    import pandas as pd
+
+    from canadiannewsdatapipeline_spark.operators.serial_ids import (
+        _plan_is_recompute_stable,
+    )
+
+    stable = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    assert _plan_is_recompute_stable(stable)
+    out = assign_serial_ids(stable, ["n_name"], "rid", n_buckets=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the file scan survived into the returned plan (no snapshot
+    # swallowed it — pruning/pushdown stay live); the only ExistingRDD
+    # is the tiny broadcast offsets frame
+    assert "parquet" in plan.lower()
+
+    def ident(batches):
+        for b in batches:
+            yield pd.DataFrame({"a": b["a"], "b": b["b"]})
+
+    seam = (
+        spark.range(50)
+        .select(
+            (F.col("id") % 5).cast("string").alias("a"),
+            F.col("id").cast("string").alias("b"),
+        )
+        .mapInPandas(ident, "a string, b string")
+    )
+    assert not _plan_is_recompute_stable(seam)
+    pinned = assign_serial_ids(seam, ["a", "b"], "rid", n_buckets=3)
+    pplan = pinned._jdf.queryExecution().executedPlan().toString()
+    # the localCheckpoint snapshot truncated the seam's lineage: the
+    # python stage is gone from the returned plan
+    assert "MapInPandas" not in pplan
+    ids = sorted(r["rid"] for r in pinned.collect())
+    assert ids == list(range(1, 51))
+    # the snapshot must NOT register a Dataset cache (the r11 leak):
+    # localCheckpoint pins without touching the CacheManager
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # non-deterministic expressions also pin
+    randy = spark.range(20).select(
+        F.rand(1).cast("string").alias("a"),
+        F.col("id").cast("string").alias("b"),
+    )
+    assert not _plan_is_recompute_stable(randy)
+
+
+def test_pin_override_both_ways(spark):
+    """Explicit pin=True/False override the auto-detection and both
+    reproduce the global rank on a deterministic input."""
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        F.col("id").cast("string").alias("b"),
+    )
+    want = {
+        (r["a"], r["b"]): r["id"]
+        for r in _global_rank_ids(df, ["a", "b"]).collect()
+    }
+    for pin in (True, False):
+        got = assign_serial_ids(df, ["a", "b"], "id", n_buckets=4, pin=pin)
+        assert {
+            (r["a"], r["b"]): r["id"] for r in got.collect()
+        } == want
+
+
 def test_mixed_type_sort_keys(spark):
     """Boundary literals must round-trip non-string key types (the
     lit_key cast path): int + string composite keys rank like the

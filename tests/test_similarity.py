@@ -578,6 +578,45 @@ def test_multitable_kernel_buckets_bit_identical(spark, sf_dir):
     assert zeros == {100005}  # only the valid all-zero vector hashes
 
 
+def test_multitable_kernel_nan_parity_with_fold(spark):
+    """r11 advice: a NaN vector element makes every plane dot NaN;
+    Spark SQL's NaN-is-largest ordering means the fold form's
+    `dot >= 0` sets EVERY bit (bucket 2^k - 1 in every table). The
+    kernel must agree bit-for-bit instead of numpy's NaN >= 0 ->
+    False -> bucket 0."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        lsh_multitable_buckets,
+        lsh_multitable_buckets_kernel,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (1, [nan] * 64),
+            (2, [1.0] * 32 + [nan] + [1.0] * 31),
+            (3, [1.0] * 64),  # control row: no NaN
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fold = {
+        (r.id, r.tbl, r.bucket)
+        for r in lsh_multitable_buckets(
+            df, "vec_id", "embedding", 12, 5, 64
+        ).collect()
+    }
+    kern = {
+        (r.id, r.tbl, r.bucket)
+        for r in lsh_multitable_buckets_kernel(
+            df, "vec_id", "embedding", 12, 5, 64
+        ).collect()
+    }
+    assert kern == fold
+    # and the NaN rows really saturate: every table at bucket 2^5-1
+    assert {
+        (i, t): b for (i, t, b) in fold if i in (1, 2)
+    } == {(i, t): 31 for i in (1, 2) for t in range(12)}
+
+
 def test_multitable_kernel_preserves_id_type(spark):
     """Review r11: the kernel schema must carry the INPUT id type —
     the fold form never constrained it, and a hardcoded long crashed
