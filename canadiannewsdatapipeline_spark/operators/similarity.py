@@ -1185,6 +1185,126 @@ def _group_shuffle_write_bytes(
         return None
 
 
+# Deterministic inter-pass shuffle reclamation (r12, r11 verdict #1).
+# The r11 eager loop "cleaned" a finished pass's shuffle files with
+# _gc.collect() + System.gc() and immediately started the next pass;
+# ContextCleaner processes the weak-reference queue ASYNCHRONOUSLY,
+# so whether consecutive passes' files overlapped on disk depended on
+# cleanup timing, not the plan — SCALE_LADDER_PILOT_TAX_r11.json
+# recorded a 6.45 GB peak vs 3.67 GB for a bit-identical twin run
+# (same pass plan, shuffle bytes equal to within 166 KB) under a
+# 4 GiB budget. The disk budget was therefore soft by up to ~one
+# pass of overlap. The fix drives the SAME cleanup ContextCleaner
+# performs, synchronously: enumerate the shuffle ids registered with
+# the driver's MapOutputTrackerMaster before/after each pass and call
+# ContextCleaner.doCleanupShuffle(id, blocking=true) on the pass's
+# ids once its result is checkpointed — after the call returns, the
+# files are gone (measured: scratch bytes drop to the survivor floor
+# in ~30 ms; a later job that needed a cleaned shuffle recomputes its
+# map stage, Spark's normal lost-shuffle path). Disable via the
+# ``spark.cndp.mp.deterministicReclaim`` conf (set "false") — e.g.
+# when OTHER jobs run concurrently in this SparkSession: ids
+# registered during a pass window are assumed to be the pass's own
+# (the same single-writer caveat _observed_shuffle_write_bytes
+# documents); a swept concurrent shuffle is never a correctness bug
+# (its consumer recomputes) but is a perf tax on that job.
+MP_DETERMINISTIC_RECLAIM_CONF = "spark.cndp.mp.deterministicReclaim"
+
+
+def _live_shuffle_ids(sc) -> frozenset | None:
+    """Shuffle ids currently registered with the driver's
+    MapOutputTrackerMaster — the live-shuffle census the reclaimer
+    diffs around each eager pass. ``None`` when the py4j internals
+    are unreachable (the reclaimer then degrades to the async-GC
+    fallback with a one-time warning)."""
+    try:
+        tracker = sc._jvm.org.apache.spark.SparkEnv.get().mapOutputTracker()
+        it = tracker.shuffleStatuses().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return frozenset(out)
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
+def _reclaim_shuffles(sc, before: frozenset) -> int | None:
+    """Synchronously delete every shuffle registered since ``before``
+    via ContextCleaner.doCleanupShuffle(id, blocking=true) — the
+    deterministic twin of the GC-triggered cleanup path. Returns the
+    number of shuffles cleaned, or ``None`` when the cleaner is
+    absent/unreachable (caller falls back to the async nudge)."""
+    now = _live_shuffle_ids(sc)
+    if now is None:
+        return None
+    try:
+        cleaner_opt = sc._jsc.sc().cleaner()
+        if not cleaner_opt.isDefined():
+            return None
+        cleaner = cleaner_opt.get()
+        cleaned = 0
+        for sid in sorted(now - before):
+            cleaner.doCleanupShuffle(sid, True)
+            cleaned += 1
+        return cleaned
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
+class _ShuffleReclaimer:
+    """Per-run inter-pass shuffle reclamation driver. Snapshots the
+    live shuffle census at arm time; ``after_pass()`` deletes the
+    shuffles the finished (checkpointed) pass registered and
+    re-snapshots. On any internals failure — or when the caller
+    disabled determinism via ``MP_DETERMINISTIC_RECLAIM_CONF`` — it
+    degrades to the r11 async behavior (py4j ref drop + System.gc
+    nudge) and, unless the degradation was the caller's own opt-out,
+    warns ONCE that the disk budget is soft by up to ~one pass of
+    cleanup overlap (the honest statement of the r11 behavior)."""
+
+    def __init__(self, sc, enabled: bool = True):
+        self._sc = sc
+        self._opted_out = not enabled
+        self._snapshot = _live_shuffle_ids(sc) if enabled else None
+        self._warned = False
+        self.cleaned_per_pass: list = []
+
+    def after_pass(self) -> int | None:
+        cleaned = None
+        if self._snapshot is not None:
+            cleaned = _reclaim_shuffles(self._sc, self._snapshot)
+            if cleaned is not None:
+                self._snapshot = _live_shuffle_ids(self._sc)
+                if self._snapshot is None:  # degraded mid-run
+                    cleaned = None
+        if cleaned is None:
+            # fallback: drop py4j refs to the pre-checkpoint plan and
+            # nudge the JVM so ContextCleaner reclaims the pass's
+            # shuffle files EVENTUALLY — peak disk is then soft by up
+            # to one pass of overlap under cleanup lag
+            import gc as _gc
+
+            if not (self._warned or self._opted_out):
+                self._warned = True
+                import warnings
+
+                warnings.warn(
+                    "multiprobe eager passes: deterministic shuffle "
+                    "reclamation is unavailable (ContextCleaner or "
+                    "MapOutputTracker internals unreachable) — falling "
+                    "back to async GC cleanup. The disk budget is soft "
+                    "by up to ~one pass of shuffle-file overlap until "
+                    "cleanup lands (the measured r11 behavior: a 4 GiB "
+                    "budget peaking at 6.45 GB on cleanup lag).",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            _gc.collect()
+            self._sc._jvm.System.gc()
+        self.cleaned_per_pass.append(cleaned)
+        return cleaned
+
+
 # Last eager-chunked run's measured-vs-modeled sizing feedback (r8
 # verdict #1: the calibrated stream estimate is open-loop — this
 # closes it). Written by _ann_lsh_multiprobe_distinct after each
@@ -1311,6 +1431,7 @@ class _MpSizingFeedback:
         self._caller_group = caller_group
         self._passes: list[dict] = []
         self._resizes: list[dict] = []
+        self._reclaim: dict | None = None
         self._warned = False
         self._resize_warned = False
         # arm-time snapshot: stages that already exist were computed
@@ -1393,21 +1514,64 @@ class _MpSizingFeedback:
             stacklevel=2,
         )
 
+    def _fitted_rate_model(self) -> tuple[float, float] | None:
+        """Two-term per-pass byte model fitted from this run's own
+        readings (r12, r11 verdict #2): every pass pays a fixed
+        shuffle FLOOR (signature partials, bucket-count exchanges,
+        file metadata) plus a MARGINAL cost per table, so the
+        per-table RATE is floor/k + marginal — a small pilot pass
+        reads an INFLATED rate (r11 pilot-tax: 176 MB/table at a
+        5-table pilot vs ~136-146 at 23-40-table passes), and
+        projecting the flat pilot rate over a full pass over-chunks
+        one step finer than the budget needs. Fit ``obs = floor +
+        marginal·k`` through the two LARGEST distinct pass sizes with
+        qualifying readings (max observed bytes per size — the
+        asymmetric-loss pick; largest sizes, because the first/pilot
+        pass additionally absorbs the one-time signature cache build
+        that is NOT a per-pass floor). Returns (floor_bytes,
+        marginal_bytes_per_table), or ``None`` when fewer than two
+        distinct sizes qualify or the fit is degenerate (marginal or
+        floor <= 0 — not the modeled shape; the flat worst-rate path
+        then stands)."""
+        by_k: dict[int, int] = {}
+        for p in self._passes:
+            if p["observed_bytes"] >= MP_SIZING_FEEDBACK_MIN_BYTES:
+                by_k[p["tables"]] = max(
+                    by_k.get(p["tables"], 0), p["observed_bytes"]
+                )
+        if len(by_k) < 2:
+            return None
+        k1, k2 = sorted(by_k)[-2:]
+        marginal = (by_k[k2] - by_k[k1]) / (k2 - k1)
+        floor = by_k[k1] - marginal * k1
+        if marginal <= 0 or floor < 0:
+            return None
+        return floor, marginal
+
     def resize(
         self, remaining_tables: int, current_k: int
     ) -> int | None:
         """Re-derive ``tables_per_pass`` for the remaining table list
-        from the MEASURED per-table shuffle rate, or ``None`` to keep
-        the current K. Acts only when (a) the hook is corrective (a
-        consulted disk budget exists), (b) at least one measured pass
-        cleared the feedback floor (floor-dominated readings are not
-        evidence — see ``MP_SIZING_FEEDBACK_MIN_BYTES``), (c) the
-        worst measured rate projects the NEXT pass past the budget,
-        and (d) the re-derived K is strictly FINER. The worst (max)
-        per-table rate drives the projection — the same asymmetric
-        loss as the max() sizing combiner: a too-fine re-chunk costs
-        the bounded ~3x wall loss, a too-coarse one meets the disk
-        wall."""
+        from the MEASURED per-pass shuffle readings, or ``None`` to
+        keep the current K. Acts only when (a) the hook is corrective
+        (a consulted disk budget exists), (b) at least one measured
+        pass cleared the feedback floor (floor-dominated readings are
+        not evidence — see ``MP_SIZING_FEEDBACK_MIN_BYTES``), (c) the
+        projection puts the NEXT pass past the budget, and (d) the
+        re-derived K is strictly FINER (a measured rate never
+        COARSENS the plan mid-run — the asymmetric loss stands: a
+        too-fine re-chunk costs the bounded ~3x wall loss, a
+        too-coarse one meets the disk wall).
+
+        Projection source (r12): once two distinct pass sizes have
+        qualifying readings, the fitted floor+marginal model
+        (``_fitted_rate_model``) projects ``floor + marginal·k`` —
+        this stops the pilot's floor-inflated flat rate from driving
+        a one-step-too-fine re-chunk after the first full-size pass
+        confirms the marginal. With only one size measured (i.e.
+        right after the pilot), the flat worst per-table rate stands:
+        floor and marginal cannot be separated from one point, and
+        over-projecting there is the safe direction."""
         if (
             self._budget is None
             or remaining_tables <= 0
@@ -1421,15 +1585,27 @@ class _MpSizingFeedback:
         ]
         if not rates:
             return None
-        rate = max(rates)
-        next_pass = rate * min(current_k, remaining_tables)
-        if next_pass <= self._budget:
-            return None
-        new_k = _mp_k_from_estimate(
-            int(rate * remaining_tables) + 1,
-            remaining_tables,
-            self._budget,
-        )
+        k_next = min(current_k, remaining_tables)
+        fit = self._fitted_rate_model()
+        if fit is not None:
+            floor_b, marginal = fit
+            if floor_b + marginal * k_next <= self._budget:
+                return None
+            # largest k whose fitted pass bytes fit the budget
+            new_k = max(1, int((self._budget - floor_b) // marginal))
+            new_k = min(new_k, remaining_tables)
+            rate = marginal  # recorded below
+            next_pass = floor_b + marginal * k_next
+        else:
+            rate = max(rates)
+            next_pass = rate * k_next
+            if next_pass <= self._budget:
+                return None
+            new_k = _mp_k_from_estimate(
+                int(rate * remaining_tables) + 1,
+                remaining_tables,
+                self._budget,
+            )
         if new_k is None or new_k >= current_k:
             # remaining_tables == 1 cannot be subdivided; a measured
             # rate can never COARSEN the plan mid-run
@@ -1441,6 +1617,14 @@ class _MpSizingFeedback:
                 "old_tables_per_pass": current_k,
                 "new_tables_per_pass": new_k,
                 "remaining_tables": remaining_tables,
+                "rate_model": (
+                    None
+                    if fit is None
+                    else {
+                        "floor_bytes": int(fit[0]),
+                        "marginal_bytes_per_table": int(fit[1]),
+                    }
+                ),
             }
         )
         if not self._resize_warned:
@@ -1464,6 +1648,17 @@ class _MpSizingFeedback:
             )
         return new_k
 
+    def note_reclaim(self, reclaimer: "_ShuffleReclaimer") -> None:
+        """Record the run's inter-pass reclamation record (r12): the
+        per-pass cleaned-shuffle counts, and whether EVERY pass was
+        deterministically reclaimed (None entries mean that pass fell
+        back to the async nudge — the budget was soft there)."""
+        self._reclaim = {
+            "deterministic": bool(reclaimer.cleaned_per_pass)
+            and all(c is not None for c in reclaimer.cleaned_per_pass),
+            "cleaned_per_pass": list(reclaimer.cleaned_per_pass),
+        }
+
     def finish(self) -> None:
         if not self._passes:
             return
@@ -1483,6 +1678,15 @@ class _MpSizingFeedback:
             "adaptive": self._budget is not None,
             "pilot_tables": self._pilot,
             "resizes": self._resizes,
+            "reclaim": self._reclaim,
+            "rate_model": (
+                None
+                if (fit := self._fitted_rate_model()) is None
+                else {
+                    "floor_bytes": int(fit[0]),
+                    "marginal_bytes_per_table": int(fit[1]),
+                }
+            ),
             "job_group_scoped": self._group is not None,
             "job_group": self._group,
             "caller_group": self._caller_group,
@@ -1865,10 +2069,14 @@ def _ann_lsh_multiprobe_distinct(
     # ~tables_per_pass/n_tables of the whole.
     #
     # ``eager_passes`` additionally MATERIALIZES each pass (tiny
-    # post-threshold deduped pairs) before building the next,
-    # truncating the pass's lineage so a JVM GC lets ContextCleaner
-    # delete its shuffle files — bounding peak shuffle DISK, not just
-    # per-exchange volume, to ~one pass. The cost is running jobs at
+    # post-threshold deduped pairs) before building the next, then
+    # DETERMINISTICALLY deletes the pass's shuffle files before the
+    # next pass starts writing its own (_ShuffleReclaimer, r12 —
+    # blocking ContextCleaner.doCleanupShuffle on the pass's shuffle
+    # ids; the r11 async System.gc() nudge left the budget soft by up
+    # to one pass of overlap under cleanup lag, see the reclaimer's
+    # comment block). Peak shuffle DISK is thereby bounded to ~one
+    # pass, not just per-exchange volume. The cost is running jobs at
     # operator-construction time (documented deviation from the
     # engine's lazy contract — reach for it only in the >500k-vector
     # shuffle tier). Checkpoint tier: if the session has a RELIABLE
@@ -1883,8 +2091,6 @@ def _ann_lsh_multiprobe_distinct(
     # (tiny post-threshold deduped pairs, not a disk-bound risk) on
     # cluster storage for the app lifetime. Set that conf, or sweep
     # the checkpoint dir, on clusters that run this repeatedly.
-    import gc as _gc
-
     sc = emb.sparkSession.sparkContext
     has_reliable_dir = (
         eager_passes and sc._jsc.sc().getCheckpointDir().isDefined()
@@ -1924,6 +2130,12 @@ def _ann_lsh_multiprobe_distinct(
             # can know, unlike the internal uuid group
             caller_group=prev_group,
         )
+    reclaimer = None
+    if eager_passes:
+        raw = emb.sparkSession.conf.get(MP_DETERMINISTIC_RECLAIM_CONF, "true")
+        reclaimer = _ShuffleReclaimer(
+            sc, enabled=str(raw).strip().lower() not in ("false", "0", "no")
+        )
     parts: list[DataFrame] = []
     try:
         lo = 0
@@ -1954,12 +2166,11 @@ def _ann_lsh_multiprobe_distinct(
                     part = part.checkpoint(eager=True)
                 else:
                     part = part.localCheckpoint(eager=True)
-                # drop py4j refs to the pre-checkpoint plan, then
-                # nudge the JVM so ContextCleaner reclaims the pass's
+                # the pass is materialized — synchronously delete its
                 # shuffle files before the next pass starts writing
-                # its own
-                _gc.collect()
-                sc._jvm.System.gc()
+                # its own (falls back to the async GC nudge, warning
+                # once, if the internals are unreachable)
+                reclaimer.after_pass()
                 if feedback is not None:
                     feedback.after_pass(hi - lo)
                     new_k = feedback.resize(n_tables - hi, k_cur)
@@ -1971,6 +2182,8 @@ def _ann_lsh_multiprobe_distinct(
         if group is not None:
             sc.setLocalProperty("spark.jobGroup.id", prev_group)
     if feedback is not None:
+        if reclaimer is not None:
+            feedback.note_reclaim(reclaimer)
         feedback.finish()
     out = parts[0]
     for part in parts[1:]:

@@ -9,14 +9,24 @@ uniform warehouse, with the pilot enabled (default) vs disabled
 subprocess per configuration (fresh JVM + scratch — the r9
 clean-session methodology), N trials each.
 
-Box-noise caveat (SCALE.md): walls on this box drift up to 1.6x
-between sessions — the claim this measures is the RELATIVE with/
-without delta from interleaved same-session-class trials, plus the
-bit-stable pass decisions and shuffle/disk peaks.
+Noise caveats (SCALE.md), corrected r12: WALLS on this box drift up
+to 1.6x between sessions, so the claim this measures is the RELATIVE
+with/without delta from interleaved same-session-class trials. Pass
+DECISIONS and shuffle-write BYTES are bit-stable; disk PEAKS were
+NOT under the r11 async cleanup (SCALE_LADDER_PILOT_TAX_r11.json:
+bit-identical twins peaked 6.45 GB vs 3.67 GB under a 4 GiB budget,
+3 of 4 trials breaching on ContextCleaner lag alone — the r11 form
+of this docstring wrongly claimed peaks bit-stable). The r12
+deterministic inter-pass reclamation exists to make every trial hold
+the budget; this script is its acceptance gate (``budget_held_all``).
+
+The corpus rotates per round (r11 verdict #5): ``--seed`` prefixes
+the fresh-content md5 keys (SPARK_GRAFT_LADDER_CONTENT_SEED), so the
+fix is validated on unmemorized data; the artifact records the seed.
 
 Usage:
   python scripts/pilot_tax.py [--k 10] [--budget BYTES]
-      [--trials 2] [--out OUT.json]        # run whole sweep in tmux
+      [--trials 3] [--seed rYYYYMMDD] [--out OUT.json]   # run in tmux
 """
 
 from __future__ import annotations
@@ -83,6 +93,7 @@ def child(sf_dir: str, budget: int, pilot_divisor: int) -> int:
         "pass_tables": [p["tables"] for p in (fb or {}).get("passes", [])],
         "pilot_tables": (fb or {}).get("pilot_tables"),
         "resizes": (fb or {}).get("resizes"),
+        "reclaim": (fb or {}).get("reclaim"),
     }))
     spark.stop()
     return 0
@@ -101,14 +112,16 @@ def main() -> int:
 
     k = int(opt("--k", "10"))
     budget = int(opt("--budget", str(4 * 1024**3)))
-    trials = int(opt("--trials", "2"))
+    trials = int(opt("--trials", "3"))
+    seed = opt("--seed", "r" + time.strftime("%Y%m%d"))
     out_path = opt("--out", "PILOT_TAX.json")
 
     import duckdb
 
     from scale_ladder import build_rung  # noqa: E402
 
-    whs = f"{BASE}/fresh_x{k}"
+    whs = f"{BASE}/fresh_x{k}_{seed}"
+    os.environ["SPARK_GRAFT_LADDER_CONTENT_SEED"] = seed
     if not os.path.isfile(os.path.join(whs, "LADDER_MODE")):
         shutil.rmtree(whs, ignore_errors=True)
         build_rung(duckdb.connect(), k, whs, "fresh")
@@ -139,10 +152,12 @@ def main() -> int:
     result = {
         "metric": "mp_pilot_tax_fresh_uniform",
         "k_replication": k,
+        "content_seed": seed,
         "budget_bytes": budget,
         "with_pilot_sec": by[8],
         "without_pilot_sec": by[1],
         "pilot_tax_sec_min": round(min(by[8]) - min(by[1]), 3),
+        "budget_held_all": all(r["budget_held"] for r in runs),
         "runs": runs,
     }
     with open(out_path, "w") as fh:

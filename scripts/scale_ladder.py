@@ -487,10 +487,10 @@ HEADLINE_SUBSET = [
 # pairwise cosines concentrate near 0, so threshold survivors stay
 # rare and the measurement isolates CANDIDATE volume, the LSH cost
 # driver, from true-pair output volume).
-_FRESH_TEXT = """
+_FRESH_TEXT_TPL = """
     CASE WHEN i = 0 THEN text ELSE array_to_string(
       [regexp_replace(
-         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+         substr(md5({pre}CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
                     || ':' || CAST(j AS VARCHAR)), 1, 10),
          '[0-9]', '', 'g')
        FOR j IN generate_series(
@@ -498,16 +498,41 @@ _FRESH_TEXT = """
       ' ')
     END AS text"""
 
-_FRESH_VEC = """
+_FRESH_VEC_TPL = """
     CASE WHEN i = 0 THEN embedding ELSE
       [CAST(CAST(concat('0x',
-              substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+              substr(md5({pre}CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
                          || ':' || CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
             / 8388607.5 - 1.0 AS FLOAT)
        FOR j IN generate_series(1, 64)]
     END AS embedding"""
 
-_FRESH_COLS = {"text": _FRESH_TEXT, "embedding": _FRESH_VEC}
+
+def _content_seed_prefix() -> str:
+    """SPARK_GRAFT_LADDER_CONTENT_SEED as an md5-key prefix (r12:
+    extended from the clustered stressor to the --fresh generators
+    too, r11 verdict #5 — the pilot-tax corpus must rotate per round
+    so fixes are validated on unmemorized data). Empty/unset keeps
+    every historical fresh warehouse bit-for-bit."""
+    seed = os.environ.get("SPARK_GRAFT_LADDER_CONTENT_SEED", "")
+    if not seed.isalnum() and seed != "":
+        raise ValueError(
+            "SPARK_GRAFT_LADDER_CONTENT_SEED must be alphanumeric, "
+            f"got {seed!r}"
+        )
+    return f"'{seed}:' || " if seed else ""
+
+
+def _fresh_cols() -> dict:
+    pre = _content_seed_prefix()
+    return {
+        "text": _FRESH_TEXT_TPL.format(pre=pre),
+        "embedding": _FRESH_VEC_TPL.format(pre=pre),
+    }
+
+
+# legacy alias (seedless form) for any caller that imported the dict
+_FRESH_COLS = _fresh_cols()
 
 
 def _cluster_vec_sql() -> str:
@@ -528,13 +553,7 @@ def _cluster_vec_sql() -> str:
     corpus bit-for-bit (the measured history stays reproducible)."""
     nc = int(os.environ.get("SPARK_GRAFT_LADDER_CLUSTERS", "16"))
     eps = float(os.environ.get("SPARK_GRAFT_LADDER_CLUSTER_EPS", "0.01"))
-    seed = os.environ.get("SPARK_GRAFT_LADDER_CONTENT_SEED", "")
-    if not seed.isalnum() and seed != "":
-        raise ValueError(
-            "SPARK_GRAFT_LADDER_CONTENT_SEED must be alphanumeric, "
-            f"got {seed!r}"
-        )
-    pre = f"'{seed}:' || " if seed else ""
+    pre = _content_seed_prefix()
     unit = (
         "(CAST(concat('0x', substr(md5({key}), 1, 6)) AS BIGINT)"
         " / 8388607.5 - 1.0)"
@@ -580,9 +599,9 @@ def build_rung(
             for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         ]
         if mode == "clustered":
-            gen_cols = {"text": _FRESH_TEXT, "embedding": _cluster_vec_sql()}
+            gen_cols = dict(_fresh_cols(), embedding=_cluster_vec_sql())
         else:
-            gen_cols = _FRESH_COLS
+            gen_cols = _fresh_cols()
         content_here = mode != "twin" and t in ("documents", "embeddings")
         proj = ", ".join(
             f"{c} + i * {STRIDES[c]} AS {c}"

@@ -93,8 +93,111 @@ def test_resize_triggers_on_measured_drift(monkeypatch):
             "old_tables_per_pass": 8,
             "new_tables_per_pass": 3,
             "remaining_tables": 30,
+            # one measured pass size: floor/marginal not separable,
+            # the flat worst-rate path stands (r12)
+            "rate_model": None,
         }
     ]
+
+
+def test_resize_fit_prevents_overfine_rechunk(monkeypatch):
+    """r11 verdict #2: the pilot's floor-inflated flat rate must stop
+    driving re-chunks once a full-size pass separates floor from
+    marginal. Pilot (2 tables) reads 200 MB -> flat 100 MB/table
+    projects an 8-table pass at 800 MB, past a 450 MB budget; but the
+    8-table pass itself reads 400 MB, so the fit (marginal 33.3 MB/t,
+    floor 133 MB) projects the NEXT 8-table pass at exactly 400 MB —
+    inside the budget. No re-chunk."""
+    budget = 450 * MB
+    _fake_group_tracker(monkeypatch, [0, 200 * MB, 600 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=1000 * MB, n_tables=34,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(2)   # pilot: 200 MB
+    fb.after_pass(8)   # full pass: 400 MB
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert fb.resize(remaining_tables=24, current_k=8) is None
+    fb.finish()
+    rm = sim.LAST_MP_SIZING_REPORT["rate_model"]
+    assert rm is not None
+    assert 133 * MB <= rm["floor_bytes"] <= 134 * MB
+    assert 33 * MB <= rm["marginal_bytes_per_table"] <= 34 * MB
+
+
+def test_resize_fit_rechunks_on_fitted_marginal(monkeypatch):
+    """When even the FITTED projection exceeds the budget, the
+    re-chunk derives K from (budget - floor) / marginal and records
+    the model."""
+    budget = 300 * MB
+    # pilot 2 tables -> 160 MB; pass 8 tables -> 460 MB:
+    # marginal = 300/6 = 50 MB/t, floor = 60 MB.
+    _fake_group_tracker(monkeypatch, [0, 160 * MB, 620 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=1000 * MB, n_tables=34,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(2)
+    fb.after_pass(8)
+    # next 8-table pass projects 60 + 8*50 = 460 MB > 300 MB;
+    # new K = (300 - 60) / 50 = 4
+    with pytest.warns(RuntimeWarning, match="adaptive re-sizing"):
+        assert fb.resize(remaining_tables=24, current_k=8) == 4
+    fb.finish()
+    rec = sim.LAST_MP_SIZING_REPORT["resizes"][-1]
+    assert rec["new_tables_per_pass"] == 4
+    assert rec["rate_model"] == {
+        "floor_bytes": 60 * MB,
+        "marginal_bytes_per_table": 50 * MB,
+    }
+
+
+def test_resize_fit_degenerate_falls_back_to_flat(monkeypatch):
+    """A larger pass that shuffled FEWER bytes (tail passes, cache
+    effects) is not the modeled floor+marginal shape — the fit
+    declines and the flat worst-rate path stands."""
+    budget = 300 * MB
+    _fake_group_tracker(monkeypatch, [0, 400 * MB, 300 * MB])
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=1000 * MB, n_tables=34,
+        disk_budget_bytes=budget, job_group="g",
+    )
+    fb.after_pass(2)   # 200 MB/table
+    fb.after_pass(8)   # 37.5 MB/table -> marginal would be negative
+    assert fb._fitted_rate_model() is None
+    # flat path: worst rate 200 MB/t projects 8 tables -> 1600 MB
+    with pytest.warns(RuntimeWarning, match="adaptive re-sizing"):
+        new_k = fb.resize(remaining_tables=24, current_k=8)
+    assert new_k is not None and new_k < 8
+    fb.finish()
+    assert sim.LAST_MP_SIZING_REPORT["resizes"][-1]["rate_model"] is None
+
+
+def test_resize_fit_reproduces_r11_pilot_tax_convergence(monkeypatch):
+    """The verdict's done-criterion, pinned Spark-free on the r11
+    pilot-tax numbers: pilot 5 tables -> 882 MB (flat 176 MB/t),
+    first full 23-table pass -> 3369 MB. The fit (marginal 138 MB/t,
+    floor 191 MB) projects the next 23-table pass at 3369 MB —
+    inside the 4 GiB budget — so the run converges at the no-pilot
+    K (23, no finer)."""
+    budget = 4 * 1024 * MB
+    _fake_group_tracker(
+        monkeypatch, [0, 882 * MB, (882 + 3369) * MB]
+    )
+    fb = _MpSizingFeedback(
+        sc=None, est_stream_bytes=20_000 * MB, n_tables=160,
+        disk_budget_bytes=budget, job_group="g", pilot_tables=5,
+    )
+    fb.after_pass(5)
+    # right after the pilot only one size is measured: the flat rate
+    # stands and re-chunks 40 -> 23 (the pilot's exposure cap)
+    with pytest.warns(RuntimeWarning, match="adaptive re-sizing"):
+        assert fb.resize(remaining_tables=155, current_k=40) == 23
+    fb.after_pass(23)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert fb.resize(remaining_tables=132, current_k=23) is None
 
 
 def test_resize_never_coarsens(monkeypatch):
