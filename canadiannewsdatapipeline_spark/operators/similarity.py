@@ -696,23 +696,51 @@ _MP_CANDIDATE_ROW_BYTES = 70
 # fraction the blended slope is 70 + 0.044*1024 ≈ 115 B/candidate =
 # the measured 1.64x. The flat constant stays the zero-knowledge
 # default; the two-term form engages when a measured survivor
-# fraction exists (the guard-zone screen sample below).
+# fraction exists (the guard-zone screen sample below). r12 (r11
+# verdict #4): this constant is the INCOMPRESSIBLE worst case —
+# shuffle files are lz4-compressed and clustered corpora's
+# near-identical vectors compress ~4x, so when the guard-zone sample
+# runs it also MEASURES the compressed per-vector bytes from a real
+# exchange (_mp_sampled_vector_row_bytes) and the measured survivor
+# cost (clamped to at most this constant) replaces it.
 _MP_SURVIVOR_ROW_BYTES = 1024
 
 
-def _mp_two_term_bytes(n_candidates: int, survivor_frac: float) -> int:
+def _mp_two_term_bytes(
+    n_candidates: int,
+    survivor_frac: float,
+    survivor_row_bytes: int | None = None,
+) -> int:
     """Two-term candidate-stream bytes: base id-pair exchanges for
-    every candidate + the ~1 KB vector attach for the screen-pass
-    fraction. Reduces to the flat one-term model at survivor_frac=0
-    and is monotonically >= it, so swapping it in can only size
-    SAFER (finer), never coarser."""
+    every candidate + the vector attach for the screen-pass fraction.
+    Reduces to the flat one-term model at survivor_frac=0 and is
+    monotonically >= it, so swapping it in can only size SAFER
+    (finer), never coarser than the flat model.
+
+    ``survivor_row_bytes`` (r12, r11 verdict #4): a MEASURED
+    compressed per-survivor byte cost replaces the static worst case.
+    The static ``_MP_SURVIVOR_ROW_BYTES`` (1 KB — two raw float64[64]
+    arrays) assumes incompressible vectors; a clustered corpus's
+    near-identical vectors lz4-compress ~4x in real shuffle files, so
+    the worst case over-chunks clustered runs up to ~4x. The measured
+    value is clamped to [``_MP_CANDIDATE_ROW_BYTES``,
+    ``_MP_SURVIVOR_ROW_BYTES``]: never above the calibrated
+    incompressible ceiling (its whole purpose is to shrink it), never
+    below the base id-exchange cost a survivor also pays."""
     if not 0.0 <= survivor_frac <= 1.0:
         raise ValueError(
             f"survivor_frac must be in [0, 1] (got {survivor_frac})"
         )
+    srow = (
+        _MP_SURVIVOR_ROW_BYTES
+        if survivor_row_bytes is None
+        else min(
+            _MP_SURVIVOR_ROW_BYTES,
+            max(int(survivor_row_bytes), _MP_CANDIDATE_ROW_BYTES),
+        )
+    )
     return int(
-        n_candidates
-        * (_MP_CANDIDATE_ROW_BYTES + survivor_frac * _MP_SURVIVOR_ROW_BYTES)
+        n_candidates * (_MP_CANDIDATE_ROW_BYTES + survivor_frac * srow)
     )
 
 
@@ -955,6 +983,68 @@ MP_SCREEN_SAMPLE_MIN = 2_000
 # same 4 NC rungs in SCALE_LADDER_SKEW_CURVE_r11.json.
 MP_TWO_TERM_RESIDUAL_GUARD = 1.15
 
+# Evidence floor for the sampled vector-byte reading (r12): below
+# this many sampled rows the lz4 blocks are too small to read a
+# stable compression ratio and the static worst case stays in force.
+MP_VECTOR_BYTES_SAMPLE_MIN = 64
+
+
+def _mp_sampled_vector_row_bytes(samp: DataFrame) -> float | None:
+    """Measured COMPRESSED shuffle bytes per (id, vector) row, read
+    from a real exchange of the guard-zone sample (r12, r11 verdict
+    #4). The survivor term of the two-term model charges each
+    screen survivor ~two attached vectors of shuffle file; its static
+    1 KB constant is the raw (incompressible) size, but shuffle files
+    are lz4-compressed and a clustered corpus's near-identical
+    vectors compress ~4x — the NC=256 rung's true stream was ~1.48
+    GiB against a 2.26 GiB incompressible estimate, over-chunking
+    ~4x. Instrument: push every sampled vector through ONE real
+    exchange — a ``collect_list(v)`` aggregate grouped on a
+    NON-unique hash bucket of the id, whose partial buffers carry
+    the raw vector payload through the shuffle write. (The obvious
+    ``groupBy(id).first(v)`` form is a trap: Spark 4's distinct-keys
+    inference rewrites an aggregate grouped on a unique key to a
+    Project and NO exchange happens — measured 1 B/row on a
+    range-backed frame. A 997-bucket group key defeats it, and the
+    downstream ``sum(size(vs))`` keeps the lists unprunable.) Read
+    the job's shuffle-write bytes scoped to a fresh job group,
+    divide by the row count. Same compression codec, same
+    serializer, same payload class as the real pass's survivor
+    attach. ``None`` on a thin sample or unreachable status store —
+    the static constant then stands.
+
+    Cost disclosure: ONE job over the q-thinned sample rows — the
+    same construction-time eagerness class as the screen sample it
+    extends, run only in the guard zone."""
+    sc = samp.sparkSession.sparkContext
+    import uuid as _uuid
+
+    group = f"cndp-mp-vbytes-{_uuid.uuid4().hex[:12]}"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    pre = _status_store_stage_ids(sc)
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        row = (
+            samp.groupBy(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(997)).alias("g")
+            )
+            .agg(F.collect_list("v").alias("vs"))
+            .agg(
+                F.sum(F.size("vs")).alias("n"),
+                F.count(F.lit(1)).alias("groups"),
+            )
+            .collect()[0]
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+    n = int(row["n"] or 0)
+    if n < MP_VECTOR_BYTES_SAMPLE_MIN:
+        return None
+    wrote = _group_shuffle_write_bytes(sc, group, pre)
+    if wrote is None or wrote <= 0:
+        return None
+    return wrote / n
+
 
 def _mp_sampled_survivor_frac(
     e: DataFrame,
@@ -966,11 +1056,14 @@ def _mp_sampled_survivor_frac(
     dim: int,
     n_candidates_exact: int,
     target: int = MP_SCREEN_SAMPLE_TARGET,
-) -> tuple[float, int] | None:
-    """Candidate-weighted Hamming-screen pass fraction, estimated on
-    a deterministic id-sample of the corpus — the measured input the
-    two-term byte model needs BEFORE any pass runs (the pilot can
-    only measure after the single-pass/chunk decision is spent).
+) -> tuple[float, int, float | None] | None:
+    """Candidate-weighted Hamming-screen pass fraction — plus the
+    measured compressed per-vector shuffle bytes (r12, see
+    ``_mp_sampled_vector_row_bytes``) — estimated on a deterministic
+    id-sample of the corpus: the measured inputs the two-term byte
+    model needs BEFORE any pass runs (the pilot can only measure
+    after the single-pass/chunk decision is spent). Returns
+    ``(survivor_frac, sampled_candidates, vector_row_bytes|None)``.
 
     Sampling ids uniformly at rate q thins the candidate stream to
     ~q² of its pairs with each bucket's contribution scaled equally
@@ -1053,7 +1146,8 @@ def _mp_sampled_survivor_frac(
     n_sampled = int(row["n"] or 0)
     if n_sampled < MP_SCREEN_SAMPLE_MIN:
         return None
-    return float(row["frac"]), n_sampled
+    vec_row_bytes = _mp_sampled_vector_row_bytes(samp)
+    return float(row["frac"]), n_sampled, vec_row_bytes
 
 
 def _observed_shuffle_write_bytes(sc) -> int | None:
@@ -1228,6 +1322,28 @@ def _live_shuffle_ids(sc) -> frozenset | None:
         return None
 
 
+def _foreign_jobs_active(sc, group: str | None) -> bool | None:
+    """True when jobs OUTSIDE ``group`` are currently active in this
+    SparkContext — the signal that makes blanket shuffle sweeping
+    unsafe: ids registered during our pass window may belong to an
+    in-flight sibling job, and deleting a shuffle a running reduce
+    stage is fetching forces FetchFailed retries (measured: repeated
+    sweeps exhausted a concurrent multiprobe run's stage attempts).
+    ``None`` (unknown) when the status tracker is unreachable — the
+    caller treats unknown as foreign and declines to sweep."""
+    try:
+        st = sc.statusTracker()
+        active = set(st.getActiveJobsIds())
+        if not active:
+            return False
+        if group is not None:
+            mine = set(st.getJobIdsForGroup(group))
+            return bool(active - mine)
+        return True
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
 def _reclaim_shuffles(sc, before: frozenset) -> int | None:
     """Synchronously delete every shuffle registered since ``before``
     via ContextCleaner.doCleanupShuffle(id, blocking=true) — the
@@ -1255,28 +1371,66 @@ class _ShuffleReclaimer:
     """Per-run inter-pass shuffle reclamation driver. Snapshots the
     live shuffle census at arm time; ``after_pass()`` deletes the
     shuffles the finished (checkpointed) pass registered and
-    re-snapshots. On any internals failure — or when the caller
-    disabled determinism via ``MP_DETERMINISTIC_RECLAIM_CONF`` — it
-    degrades to the r11 async behavior (py4j ref drop + System.gc
-    nudge) and, unless the degradation was the caller's own opt-out,
-    warns ONCE that the disk budget is soft by up to ~one pass of
-    cleanup overlap (the honest statement of the r11 behavior)."""
+    re-snapshots. Degrades to the r11 async behavior (py4j ref drop +
+    System.gc nudge) — recording ``None`` for that pass — in three
+    cases: (a) internals unreachable (one-time warning: the budget is
+    soft by up to ~one pass of cleanup overlap, the honest statement
+    of the r11 behavior); (b) FOREIGN jobs active in the session at
+    the pass barrier (one-time warning: the census diff cannot
+    attribute ids, and sweeping an in-flight sibling's shuffle forces
+    FetchFailed retries — measured to exhaust a concurrent run's
+    stage attempts); (c) the caller's own opt-out via
+    ``MP_DETERMINISTIC_RECLAIM_CONF`` (silent)."""
 
-    def __init__(self, sc, enabled: bool = True):
+    def __init__(self, sc, enabled: bool = True, job_group: str | None = None):
         self._sc = sc
         self._opted_out = not enabled
+        self._group = job_group
         self._snapshot = _live_shuffle_ids(sc) if enabled else None
         self._warned = False
         self.cleaned_per_pass: list = []
 
+    def _warn_once(self, msg: str) -> None:
+        if self._warned or self._opted_out:
+            return
+        self._warned = True
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=4)
+
     def after_pass(self) -> int | None:
         cleaned = None
         if self._snapshot is not None:
-            cleaned = _reclaim_shuffles(self._sc, self._snapshot)
-            if cleaned is not None:
+            if _foreign_jobs_active(self._sc, self._group):
+                # True or None (unknown): don't sweep — but DO
+                # re-snapshot, so the foreign window's ids never land
+                # in a later pass's diff
+                self._warn_once(
+                    "multiprobe eager passes: concurrent jobs are "
+                    "active in this SparkSession — deterministic "
+                    "shuffle reclamation cannot attribute shuffle ids "
+                    "and is skipped while they run (async GC cleanup "
+                    "instead). The disk budget is soft by up to ~one "
+                    "pass of shuffle-file overlap for those passes."
+                )
                 self._snapshot = _live_shuffle_ids(self._sc)
-                if self._snapshot is None:  # degraded mid-run
-                    cleaned = None
+            else:
+                cleaned = _reclaim_shuffles(self._sc, self._snapshot)
+                if cleaned is not None:
+                    self._snapshot = _live_shuffle_ids(self._sc)
+                    if self._snapshot is None:  # degraded mid-run
+                        cleaned = None
+                else:
+                    self._warn_once(
+                        "multiprobe eager passes: deterministic shuffle "
+                        "reclamation is unavailable (ContextCleaner or "
+                        "MapOutputTracker internals unreachable) — "
+                        "falling back to async GC cleanup. The disk "
+                        "budget is soft by up to ~one pass of "
+                        "shuffle-file overlap until cleanup lands (the "
+                        "measured r11 behavior: a 4 GiB budget peaking "
+                        "at 6.45 GB on cleanup lag)."
+                    )
         if cleaned is None:
             # fallback: drop py4j refs to the pre-checkpoint plan and
             # nudge the JVM so ContextCleaner reclaims the pass's
@@ -1290,12 +1444,9 @@ class _ShuffleReclaimer:
 
                 warnings.warn(
                     "multiprobe eager passes: deterministic shuffle "
-                    "reclamation is unavailable (ContextCleaner or "
-                    "MapOutputTracker internals unreachable) — falling "
-                    "back to async GC cleanup. The disk budget is soft "
-                    "by up to ~one pass of shuffle-file overlap until "
-                    "cleanup lands (the measured r11 behavior: a 4 GiB "
-                    "budget peaking at 6.45 GB on cleanup lag).",
+                    "reclamation is unavailable — falling back to "
+                    "async GC cleanup; the disk budget is soft by up "
+                    "to ~one pass of shuffle-file overlap.",
                     RuntimeWarning,
                     stacklevel=3,
                 )
@@ -2134,7 +2285,15 @@ def _ann_lsh_multiprobe_distinct(
     if eager_passes:
         raw = emb.sparkSession.conf.get(MP_DETERMINISTIC_RECLAIM_CONF, "true")
         reclaimer = _ShuffleReclaimer(
-            sc, enabled=str(raw).strip().lower() not in ("false", "0", "no")
+            sc,
+            enabled=str(raw).strip().lower() not in ("false", "0", "no"),
+            # the group OUR pass jobs run under — the uuid sizing
+            # group when feedback armed, else the caller's ambient
+            # group; _foreign_jobs_active scopes the concurrency
+            # check to everything OUTSIDE it
+            job_group=group
+            if group is not None
+            else sc.getLocalProperty("spark.jobGroup.id"),
         )
     parts: list[DataFrame] = []
     try:
@@ -2494,12 +2653,32 @@ def _mp_resolve_mode(
                     hamming_max, dim, n_candidates,
                 )
                 if sampled is not None:
-                    frac, n_sampled = sampled
-                    est = max(_mp_two_term_bytes(n_candidates, frac), est)
+                    frac, n_sampled, vec_row_bytes = sampled
+                    # r12 (r11 verdict #4): a measured compressed
+                    # vector-row reading replaces the incompressible
+                    # 1 KB survivor worst case — a survivor carries
+                    # ~two attached vectors plus the base id
+                    # exchanges; clamped inside _mp_two_term_bytes
+                    srow = (
+                        None
+                        if vec_row_bytes is None
+                        else int(
+                            2 * vec_row_bytes + _MP_CANDIDATE_ROW_BYTES
+                        )
+                    )
+                    est = max(
+                        _mp_two_term_bytes(n_candidates, frac, srow), est
+                    )
                     est_source += "+screen-sample"
                     screen_sample = {
                         "survivor_frac": round(frac, 4),
                         "sampled_candidates": n_sampled,
+                        "vector_row_bytes": (
+                            None
+                            if vec_row_bytes is None
+                            else round(vec_row_bytes, 1)
+                        ),
+                        "survivor_row_bytes": srow,
                     }
                     single_pass_guard = MP_TWO_TERM_RESIDUAL_GUARD
         elif unknown_size:

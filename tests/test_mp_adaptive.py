@@ -746,6 +746,50 @@ def test_two_term_bytes_model():
     )
     with pytest.raises(ValueError):
         _mp_two_term_bytes(10, 1.5)
+    # r12: a MEASURED survivor-row cost replaces the static worst
+    # case, clamped to [base, static]: compressible vectors shrink
+    # the estimate, but never below the flat model and never above
+    # the incompressible ceiling
+    assert _mp_two_term_bytes(1000, 1.0, 300) == 1000 * (
+        _MP_CANDIDATE_ROW_BYTES + 300
+    )
+    assert _mp_two_term_bytes(1000, 1.0, 5000) == _mp_two_term_bytes(
+        1000, 1.0
+    )
+    assert _mp_two_term_bytes(1000, 1.0, 3) == 1000 * (
+        2 * _MP_CANDIDATE_ROW_BYTES
+    )
+    assert _mp_two_term_bytes(1000, 0.0, 300) == _mp_two_term_bytes(
+        1000, 0.0
+    )
+
+
+def test_sampled_vector_bytes_reads_real_compression(spark):
+    """r11 verdict #4: the survivor-byte instrument must read REAL
+    lz4 shuffle compression — near-identical (clustered) vectors
+    measure far below the random-vector cost, which sits near the
+    512 B raw array size."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _mp_sampled_vector_row_bytes,
+    )
+
+    n = 2000
+    const = spark.range(n).select(
+        F.col("id"),
+        F.array_repeat(F.lit(0.123456789), 64).alias("v"),
+    )
+    rnd = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.rand(42) * F.col("id").cast("double") + j,
+        ).alias("v"),
+    )
+    vb_const = _mp_sampled_vector_row_bytes(const)
+    vb_rnd = _mp_sampled_vector_row_bytes(rnd)
+    assert vb_const is not None and vb_rnd is not None
+    assert vb_rnd > 256  # random doubles barely compress
+    assert vb_const < 0.5 * vb_rnd  # identical vectors compress hard
 
 
 def test_k_rule_guard_param():
@@ -783,10 +827,13 @@ def test_screen_sample_estimator_bounds(spark, emb):
     hi = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, 252, 64, n_cand)
     lo = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, -1, 64, n_cand)
     assert hi is not None and lo is not None
-    frac_hi, n_hi = hi
-    frac_lo, n_lo = lo
+    frac_hi, n_hi, vb_hi = hi
+    frac_lo, n_lo, vb_lo = lo
     assert frac_hi == 1.0 and frac_lo == 0.0
     assert n_hi == n_lo >= sim.MP_SCREEN_SAMPLE_MIN
+    # random float64 vectors barely compress: the measured per-row
+    # shuffle bytes sit near the 512 B raw array size
+    assert vb_hi is not None and vb_hi > 256
 
 
 def test_guard_zone_screen_sample_routes_the_decision(emb):

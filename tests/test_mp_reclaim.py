@@ -123,6 +123,33 @@ def test_reclaim_opt_out_conf_silent(spark, emb):
         spark.conf.unset(sim.MP_DETERMINISTIC_RECLAIM_CONF)
 
 
+def test_reclaimer_skips_sweep_under_foreign_jobs(spark, monkeypatch):
+    """Concurrency safety (found by the r10 concurrent-reports test):
+    sweeping ids registered during a pass window can delete an
+    in-flight sibling job's shuffle and exhaust its stage retries.
+    With foreign jobs active the reclaimer must NOT sweep — async
+    nudge, one concurrency warning, None recorded — and must
+    re-snapshot so the foreign window's ids never enter a later
+    diff."""
+    sc = spark.sparkContext
+    monkeypatch.setattr(sim, "_foreign_jobs_active", lambda sc, g: True)
+    swept = []
+    monkeypatch.setattr(
+        sim, "_reclaim_shuffles",
+        lambda sc, before: swept.append(before) or 0,
+    )
+    r = _ShuffleReclaimer(sc, enabled=True, job_group="me")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert r.after_pass() is None
+        assert r.after_pass() is None
+    assert swept == []  # never swept
+    msgs = [x for x in w if "concurrent jobs" in str(x.message)]
+    assert len(msgs) == 1
+    assert r.cleaned_per_pass == [None, None]
+    assert r._snapshot is not None  # re-snapshotted, not disarmed
+
+
 def test_reclaimer_unit_fallback_path(spark, monkeypatch):
     """_ShuffleReclaimer degrades per-pass: a mid-run internals
     failure flips to the nudge and records None for that pass."""

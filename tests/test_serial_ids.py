@@ -181,9 +181,21 @@ def test_pin_auto_detection(spark, sf_dir):
     assert "MapInPandas" not in pplan
     ids = sorted(r["rid"] for r in pinned.collect())
     assert ids == list(range(1, 51))
-    # the snapshot must NOT register a Dataset cache (the r11 leak):
-    # localCheckpoint pins without touching the CacheManager
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # the snapshot must NOT register a Dataset cache (the r11 leak +
+    # stale-plan-match hazard): rebuilding the IDENTICAL seam lineage
+    # must plan as a fresh pipeline, not an InMemoryTableScan hit on
+    # the snapshot (other suite tests legitimately hold caches in the
+    # shared session, so assert on THIS plan, not a global isEmpty)
+    seam2 = (
+        spark.range(50)
+        .select(
+            (F.col("id") % 5).cast("string").alias("a"),
+            F.col("id").cast("string").alias("b"),
+        )
+        .mapInPandas(ident, "a string, b string")
+    )
+    plan2 = seam2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan2
 
     # non-deterministic expressions also pin
     randy = spark.range(20).select(
