@@ -1324,11 +1324,14 @@ def _live_shuffle_ids(sc) -> frozenset | None:
 
 def _foreign_jobs_active(sc, group: str | None) -> bool | None:
     """True when jobs OUTSIDE ``group`` are currently active in this
-    SparkContext — the signal that makes blanket shuffle sweeping
-    unsafe: ids registered during our pass window may belong to an
-    in-flight sibling job, and deleting a shuffle a running reduce
-    stage is fetching forces FetchFailed retries (measured: repeated
-    sweeps exhausted a concurrent multiprobe run's stage attempts).
+    SparkContext — one of the two signals that make blanket shuffle
+    sweeping unsafe (the other is ``_foreign_job_ids``): ids
+    registered during our pass window may belong to an in-flight
+    sibling job, and deleting a shuffle a running job depends on
+    doesn't just force recompute — when the lost shuffle sits
+    downstream of a python (mapInPandas) stage Spark marks it
+    INDETERMINATE and ABORTS the consumer instead of rolling back
+    (measured: a concurrent multiprobe run died in localCheckpoint).
     ``None`` (unknown) when the status tracker is unreachable — the
     caller treats unknown as foreign and declines to sweep."""
     try:
@@ -1344,27 +1347,60 @@ def _foreign_jobs_active(sc, group: str | None) -> bool | None:
         return None
 
 
-def _reclaim_shuffles(sc, before: frozenset) -> int | None:
-    """Synchronously delete every shuffle registered since ``before``
-    via ContextCleaner.doCleanupShuffle(id, blocking=true) — the
+def _foreign_job_ids(sc, group: str | None) -> frozenset | None:
+    """Job ids in the status store that do NOT belong to ``group`` —
+    the reclaimer's attribution-by-exclusion census. A sweep is only
+    safe when the window since the last barrier contained OUR jobs
+    exclusively: a sibling job that ran AND COMPLETED inside the
+    window leaves shuffles (persisted-frame builds) its later jobs
+    reuse as skipped stages, so `active jobs` alone misses it —
+    measured in the full test suite as a concurrent run dying on a
+    swept shuffle while idle at the instant of the check. New foreign
+    ids since the last barrier => don't sweep. ``None`` when the
+    status-store internals are unreachable (no attribution => no
+    sweep). Job eviction past spark.ui.retainedJobs only ever REMOVES
+    old ids, which cannot fake an empty diff."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        out = set()
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            jg = j.jobGroup()
+            if not (group is not None and jg.isDefined() and jg.get() == group):
+                out.add(j.jobId())
+        return frozenset(out)
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
+def _reclaim_shuffle_ids(sc, ids) -> int | None:
+    """Synchronously delete the given shuffle ids via
+    ContextCleaner.doCleanupShuffle(id, blocking=true) — the
     deterministic twin of the GC-triggered cleanup path. Returns the
     number of shuffles cleaned, or ``None`` when the cleaner is
     absent/unreachable (caller falls back to the async nudge)."""
-    now = _live_shuffle_ids(sc)
-    if now is None:
-        return None
     try:
         cleaner_opt = sc._jsc.sc().cleaner()
         if not cleaner_opt.isDefined():
             return None
         cleaner = cleaner_opt.get()
         cleaned = 0
-        for sid in sorted(now - before):
+        for sid in sorted(ids):
             cleaner.doCleanupShuffle(sid, True)
             cleaned += 1
         return cleaned
     except Exception:  # pragma: no cover - depends on py4j internals
         return None
+
+
+def _reclaim_shuffles(sc, before: frozenset) -> int | None:
+    """Delete every shuffle registered since ``before``; see
+    ``_reclaim_shuffle_ids``."""
+    now = _live_shuffle_ids(sc)
+    if now is None:
+        return None
+    return _reclaim_shuffle_ids(sc, now - before)
 
 
 class _ShuffleReclaimer:
@@ -1375,11 +1411,14 @@ class _ShuffleReclaimer:
     System.gc nudge) — recording ``None`` for that pass — in three
     cases: (a) internals unreachable (one-time warning: the budget is
     soft by up to ~one pass of cleanup overlap, the honest statement
-    of the r11 behavior); (b) FOREIGN jobs active in the session at
-    the pass barrier (one-time warning: the census diff cannot
-    attribute ids, and sweeping an in-flight sibling's shuffle forces
-    FetchFailed retries — measured to exhaust a concurrent run's
-    stage attempts); (c) the caller's own opt-out via
+    of the r11 behavior); (b) the pass window was NOT exclusively
+    ours — a foreign job ran during it (new foreign job ids in the
+    status store) or spans it (active now): the census diff cannot
+    attribute ids, and sweeping a sibling's shuffle is not a benign
+    recompute — downstream of a python stage Spark marks the lost
+    shuffle INDETERMINATE and aborts the consumer (both failure
+    shapes measured in the concurrent-runs test before this guard
+    existed); (c) the caller's own opt-out via
     ``MP_DETERMINISTIC_RECLAIM_CONF`` (silent)."""
 
     def __init__(self, sc, enabled: bool = True, job_group: str | None = None):
@@ -1387,6 +1426,12 @@ class _ShuffleReclaimer:
         self._opted_out = not enabled
         self._group = job_group
         self._snapshot = _live_shuffle_ids(sc) if enabled else None
+        self._foreign_seen = (
+            _foreign_job_ids(sc, job_group) if enabled else None
+        )
+        if self._foreign_seen is None:
+            # no attribution census => never safe to sweep
+            self._snapshot = None
         self._warned = False
         self.cleaned_per_pass: list = []
 
@@ -1398,24 +1443,56 @@ class _ShuffleReclaimer:
 
         warnings.warn(msg, RuntimeWarning, stacklevel=4)
 
+    def _window_was_exclusive(self) -> bool:
+        """True iff the window since the last barrier contained OUR
+        group's jobs exclusively: no new foreign job ids (a sibling
+        that ran-and-finished inside the window) and no foreign job
+        active right now (a sibling spanning the window). Updates the
+        foreign census either way."""
+        now_f = _foreign_job_ids(self._sc, self._group)
+        if now_f is None:
+            self._foreign_seen = None
+            self._snapshot = None
+            return False
+        new_foreign = bool(now_f - self._foreign_seen)
+        self._foreign_seen = now_f
+        if new_foreign:
+            return False
+        active = _foreign_jobs_active(self._sc, self._group)
+        return active is False
+
     def after_pass(self) -> int | None:
         cleaned = None
         if self._snapshot is not None:
-            if _foreign_jobs_active(self._sc, self._group):
-                # True or None (unknown): don't sweep — but DO
-                # re-snapshot, so the foreign window's ids never land
-                # in a later pass's diff
+            # fix the candidate sweep set BEFORE the exclusivity
+            # check: a foreign job submitted in the gap between check
+            # and sweep then cannot contribute ids to the set (its
+            # pre-window shuffles are in the snapshot and never
+            # swept). The residual race is a foreign shuffle
+            # registered before this census whose job-submitted event
+            # has not yet drained into the status store — an event-
+            # queue-lag window of milliseconds, worst case one
+            # recoverable stage retry on the sibling.
+            census = _live_shuffle_ids(self._sc)
+            if census is None:
+                self._snapshot = None  # internals degraded mid-run
+            elif not self._window_was_exclusive():
+                # don't sweep — but DO re-snapshot, so the shared
+                # window's ids never land in a later pass's diff
                 self._warn_once(
-                    "multiprobe eager passes: concurrent jobs are "
-                    "active in this SparkSession — deterministic "
-                    "shuffle reclamation cannot attribute shuffle ids "
-                    "and is skipped while they run (async GC cleanup "
-                    "instead). The disk budget is soft by up to ~one "
-                    "pass of shuffle-file overlap for those passes."
+                    "multiprobe eager passes: concurrent jobs ran in "
+                    "this SparkSession during a pass window — "
+                    "deterministic shuffle reclamation cannot "
+                    "attribute shuffle ids and is skipped for such "
+                    "passes (async GC cleanup instead). The disk "
+                    "budget is soft by up to ~one pass of "
+                    "shuffle-file overlap for those passes."
                 )
-                self._snapshot = _live_shuffle_ids(self._sc)
+                self._snapshot = census
             else:
-                cleaned = _reclaim_shuffles(self._sc, self._snapshot)
+                cleaned = _reclaim_shuffle_ids(
+                    self._sc, census - self._snapshot
+                )
                 if cleaned is not None:
                     self._snapshot = _live_shuffle_ids(self._sc)
                     if self._snapshot is None:  # degraded mid-run
@@ -2263,37 +2340,38 @@ def _ann_lsh_multiprobe_distinct(
     feedback = None
     group = None
     prev_group = None
-    if eager_passes and est_stream_bytes:
+    if eager_passes:
+        # EVERY eager run gets a fresh job group (r12) — not just
+        # feedback-armed ones: the group is how both the sizing
+        # reader AND the shuffle reclaimer tell this run's jobs from
+        # a concurrent sibling's (attribution by exclusion; see
+        # _ShuffleReclaimer).
         import uuid as _uuid
 
         group = f"cndp-mp-sizing-{_uuid.uuid4().hex[:12]}"
         prev_group = sc.getLocalProperty("spark.jobGroup.id")
         sc.setLocalProperty("spark.jobGroup.id", group)
-        feedback = _MpSizingFeedback(
-            sc,
-            est_stream_bytes,
-            n_tables,
-            disk_budget_bytes=disk_budget_bytes,
-            job_group=group,
-            pilot_tables=pilot_tables,
-            # the caller's own group (if any) keys the per-run report
-            # in MP_SIZING_REPORTS — the handle a concurrent caller
-            # can know, unlike the internal uuid group
-            caller_group=prev_group,
-        )
+        if est_stream_bytes:
+            feedback = _MpSizingFeedback(
+                sc,
+                est_stream_bytes,
+                n_tables,
+                disk_budget_bytes=disk_budget_bytes,
+                job_group=group,
+                pilot_tables=pilot_tables,
+                # the caller's own group (if any) keys the per-run
+                # report in MP_SIZING_REPORTS — the handle a
+                # concurrent caller can know, unlike the internal
+                # uuid group
+                caller_group=prev_group,
+            )
     reclaimer = None
     if eager_passes:
         raw = emb.sparkSession.conf.get(MP_DETERMINISTIC_RECLAIM_CONF, "true")
         reclaimer = _ShuffleReclaimer(
             sc,
             enabled=str(raw).strip().lower() not in ("false", "0", "no"),
-            # the group OUR pass jobs run under — the uuid sizing
-            # group when feedback armed, else the caller's ambient
-            # group; _foreign_jobs_active scopes the concurrency
-            # check to everything OUTSIDE it
-            job_group=group
-            if group is not None
-            else sc.getLocalProperty("spark.jobGroup.id"),
+            job_group=group,
         )
     parts: list[DataFrame] = []
     try:

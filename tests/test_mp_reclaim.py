@@ -135,8 +135,8 @@ def test_reclaimer_skips_sweep_under_foreign_jobs(spark, monkeypatch):
     monkeypatch.setattr(sim, "_foreign_jobs_active", lambda sc, g: True)
     swept = []
     monkeypatch.setattr(
-        sim, "_reclaim_shuffles",
-        lambda sc, before: swept.append(before) or 0,
+        sim, "_reclaim_shuffle_ids",
+        lambda sc, ids: swept.append(ids) or 0,
     )
     r = _ShuffleReclaimer(sc, enabled=True, job_group="me")
     with _warnings.catch_warnings(record=True) as w:
@@ -156,7 +156,7 @@ def test_reclaimer_unit_fallback_path(spark, monkeypatch):
     sc = spark.sparkContext
     r = _ShuffleReclaimer(sc, enabled=True)
     assert r._snapshot is not None
-    monkeypatch.setattr(sim, "_reclaim_shuffles", lambda sc, before: None)
+    monkeypatch.setattr(sim, "_reclaim_shuffle_ids", lambda sc, ids: None)
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
         assert r.after_pass() is None
