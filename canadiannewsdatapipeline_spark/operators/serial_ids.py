@@ -53,14 +53,20 @@ recompute is exactly the drift hazard being pinned away.
 
 ``pin=None`` (default) auto-detects: inputs whose optimized plan is
 built entirely from recompute-stable leaves (file relations, Range,
-local/cached data) through deterministic operators skip the pin —
-a parquet-backed batch cannot drift between the internal jobs and
+local data) through MULTISET-stable operators skip the pin — a
+parquet-backed batch cannot drift between the internal jobs and
 the returned plan, and skipping the snapshot keeps column pruning
 (the counts jobs scan only the sort keys) and the streaming write
-path. Anything unrecognized — ``mapInPandas`` seams, UDFs,
-non-deterministic expressions — pins. The auto-detector trusts
-RDD-backed inputs (``LogicalRDD``) as content-stable; pass
-``pin=True`` if yours wraps a non-deterministic RDD.
+path. Anything unrecognized pins: ``mapInPandas`` seams, UDFs
+(python or scala — their deterministic flag is the user's assertion,
+not a checkable property), non-deterministic expressions, cached
+frames (eviction recomputes from a child the walk cannot see), and
+order-sensitive operators that are Spark-'deterministic' but not
+stable under shuffle-fetch reordering (first/last/collect aggregates,
+rank windows over tied keys, dropDuplicates, un-sorted limits — r12
+review). The auto-detector trusts RDD-backed inputs
+(``LogicalRDD``) as content-stable; pass ``pin=True`` if yours
+wraps a non-deterministic RDD.
 
 Comparison semantics: buckets compare ``struct(sort_cols) >=
 struct(literals)``. Spark's struct ordering is lexicographic with
@@ -101,13 +107,21 @@ _BOUNDARY_OVERSAMPLE = 20
 # global window).
 _MIN_ROWS_PER_BUCKET = 1000
 
-# Logical-plan node names whose output row multiset is stable across
-# repeated jobs given stable leaves: deterministic relational
-# operators plus the leaf relations themselves. Used by the ``pin``
-# auto-detector — anything NOT listed (mapInPandas seams, UDF
-# transforms, streaming sources) conservatively pins. LogicalRDD
-# covers createDataFrame(local data) and prior checkpoints; see the
-# module docstring for the RDD-backed caveat.
+# Logical-plan node names whose output row MULTISET is stable across
+# repeated jobs given stable leaves. Used by the ``pin``
+# auto-detector — anything NOT listed conservatively pins. The list
+# is deliberately narrower than "deterministic operators" (r12
+# review): Spark's deterministic flag promises same-input-same-output
+# per ROW, not a stable multiset under shuffle-fetch reordering —
+# Aggregate (first/last/collect_*, float-sum ulp drift), Window
+# (rank families over tied keys), Deduplicate (keeps an arbitrary
+# row per key) and un-sorted Limits are all 'deterministic' yet can
+# return different multisets on recompute, which is exactly the
+# drift the pin exists to stop. InMemoryRelation is also excluded:
+# its stability depends on cache blocks surviving (an evicted
+# partition recomputes from a child this walk cannot see).
+# LogicalRDD covers createDataFrame(local data) and prior
+# checkpoints; see the module docstring for the RDD-backed caveat.
 _STABLE_PLAN_NODES = frozenset(
     {
         "Project",
@@ -117,19 +131,13 @@ _STABLE_PLAN_NODES = frozenset(
         "LocalRelation",
         "OneRowRelation",
         "Range",
-        "InMemoryRelation",
         "LogicalRDD",
         "Union",
         "Join",
-        "Aggregate",
         "Sort",
-        "Window",
         "Expand",
         "Generate",
         "Distinct",
-        "Deduplicate",
-        "GlobalLimit",
-        "LocalLimit",
         "Repartition",
         "RepartitionByExpression",
         "RebalancePartitions",
@@ -141,19 +149,36 @@ _STABLE_PLAN_NODES = frozenset(
 )
 
 
+def _expr_is_stable(expr) -> bool:
+    """Deterministic AND free of user-function nodes: a default
+    ``F.udf`` (python or scala) is deterministic-FLAGGED — the user's
+    assertion, not a property this detector can check — and the
+    module contract promises UDF inputs pin (r12 review). Walks the
+    expression tree for class names containing 'UDF'."""
+    if not expr.deterministic():
+        return False
+    if "UDF" in expr.getClass().getSimpleName():
+        return False
+    children = expr.children()
+    for i in range(children.size()):
+        if not _expr_is_stable(children.apply(i)):
+            return False
+    return True
+
+
 def _plan_is_recompute_stable(df: DataFrame) -> bool:
     """True when ``df``'s optimized logical plan is recompute-stable:
-    every node is a known deterministic relational operator (the
-    allowlist above) and every expression reports deterministic.
-    Unknown node shapes — or any py4j failure while walking — return
-    False, which routes the caller to the safe (pinned) path."""
+    every node is on the multiset-stable allowlist above and every
+    expression is deterministic with no user-function nodes. Unknown
+    node shapes — or any py4j failure while walking — return False,
+    which routes the caller to the safe (pinned) path."""
 
     def walk(node) -> bool:
         if node.nodeName() not in _STABLE_PLAN_NODES:
             return False
         exprs = node.expressions()
         for i in range(exprs.size()):
-            if not exprs.apply(i).deterministic():
+            if not _expr_is_stable(exprs.apply(i)):
                 return False
         children = node.children()
         for i in range(children.size()):

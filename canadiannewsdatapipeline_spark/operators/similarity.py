@@ -1010,8 +1010,17 @@ def _mp_sampled_vector_row_bytes(samp: DataFrame) -> float | None:
     the job's shuffle-write bytes scoped to a fresh job group,
     divide by the row count. Same compression codec, same
     serializer, same payload class as the real pass's survivor
-    attach. ``None`` on a thin sample or unreachable status store —
-    the static constant then stands.
+    attach. Layout caveat (r12 review): grouped list buffers lay a
+    hash-bucket's vectors contiguously where the real attach
+    interleaves them with id pairs, so in principle the sample can
+    compress better than the attach; in practice the delta is
+    second-order — exact duplicates never reach the attach (the
+    cascade collapses them first), near-identical-but-not-equal
+    doubles give lz4's byte matcher no long runs either way
+    (measured NC=256: 403.5 B vs 512 raw, 21% — not 4x), the
+    interleaved ids are small against 512 B arrays, and the 1.15
+    residual guard stands on top. ``None`` on a thin sample or
+    unreachable status store — the static constant then stands.
 
     Cost disclosure: ONE job over the q-thinned sample rows — the
     same construction-time eagerness class as the screen sample it
@@ -1056,14 +1065,17 @@ def _mp_sampled_survivor_frac(
     dim: int,
     n_candidates_exact: int,
     target: int = MP_SCREEN_SAMPLE_TARGET,
-) -> tuple[float, int, float | None] | None:
+) -> tuple[float, int, float | None, float | None] | None:
     """Candidate-weighted Hamming-screen pass fraction — plus the
     measured compressed per-vector shuffle bytes (r12, see
-    ``_mp_sampled_vector_row_bytes``) — estimated on a deterministic
-    id-sample of the corpus: the measured inputs the two-term byte
-    model needs BEFORE any pass runs (the pilot can only measure
-    after the single-pass/chunk decision is spent). Returns
-    ``(survivor_frac, sampled_candidates, vector_row_bytes|None)``.
+    ``_mp_sampled_vector_row_bytes``) and the sampled
+    survivors-per-distinct-id amortization lower bound (r12,
+    observability only) — estimated on a deterministic id-sample of
+    the corpus: the measured inputs the two-term byte model needs
+    BEFORE any pass runs (the pilot can only measure after the
+    single-pass/chunk decision is spent). Returns ``(survivor_frac,
+    sampled_candidates, vector_row_bytes|None,
+    survivor_pairs_per_id|None)``.
 
     Sampling ids uniformly at rate q thins the candidate stream to
     ~q² of its pairs with each bucket's contribution scaled equally
@@ -1132,22 +1144,45 @@ def _mp_sampled_survivor_frac(
             F.col(f"wa{m_}").bitwiseXOR(F.col(f"wb{m_}"))
         )
         hamming = term if hamming is None else hamming + term
+    surv = hamming <= F.lit(hamming_max)
     row = (
         probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg((hamming <= F.lit(hamming_max)).cast("double")).alias(
-                "frac"
-            ),
+            F.avg(surv.cast("double")).alias("frac"),
+            # amortization census (r12, observability only — feeds no
+            # sizing decision yet): how many distinct ids the sampled
+            # survivors touch. The two-term model charges each
+            # surviving PAIR two full vector attaches, but the
+            # physical plan exchanges vectors per distinct id per
+            # pass side — on clustered corpora one id amortizes over
+            # ~cluster-size pairs and the estimate lands ~4x over the
+            # true stream (SCALE.md §Round-12 honest residual). The
+            # q-thinned sample UNDER-counts pairs-per-id by ~q (pairs
+            # scale q², ids scale q), so the derived
+            # survivor_pairs_per_id is a LOWER bound on the true
+            # amortization — recorded so a future round can model it
+            # from data instead of theory.
+            F.approx_count_distinct(
+                F.when(surv, F.col("id_a"))
+            ).alias("d_a"),
+            F.approx_count_distinct(
+                F.when(surv, F.col("id_b"))
+            ).alias("d_b"),
         )
         .collect()[0]
     )
     n_sampled = int(row["n"] or 0)
     if n_sampled < MP_SCREEN_SAMPLE_MIN:
         return None
+    frac = float(row["frac"])
+    d_ids = int(row["d_a"] or 0) + int(row["d_b"] or 0)
+    pairs_per_id = (
+        round(2.0 * frac * n_sampled / d_ids, 2) if d_ids else None
+    )
     vec_row_bytes = _mp_sampled_vector_row_bytes(samp)
-    return float(row["frac"]), n_sampled, vec_row_bytes
+    return frac, n_sampled, vec_row_bytes, pairs_per_id
 
 
 def _observed_shuffle_write_bytes(sc) -> int | None:
@@ -1358,8 +1393,12 @@ def _foreign_job_ids(sc, group: str | None) -> frozenset | None:
     swept shuffle while idle at the instant of the check. New foreign
     ids since the last barrier => don't sweep. ``None`` when the
     status-store internals are unreachable (no attribution => no
-    sweep). Job eviction past spark.ui.retainedJobs only ever REMOVES
-    old ids, which cannot fake an empty diff."""
+    sweep). Job eviction past spark.ui.retainedJobs removes OLDEST
+    ids first, so a foreign job submitted inside the window survives
+    the store unless >retainedJobs (default 1000) newer jobs were
+    submitted before the barrier — orders of magnitude beyond a
+    pass's job count; within that bound an empty diff is trustworthy
+    (r12 review: this is a practical bound, not an absolute one)."""
     try:
         store = sc._jsc.sc().statusStore()
         jobs = store.jobsList(None)
@@ -1369,6 +1408,41 @@ def _foreign_job_ids(sc, group: str | None) -> frozenset | None:
             jg = j.jobGroup()
             if not (group is not None and jg.isDefined() and jg.get() == group):
                 out.add(j.jobId())
+        return frozenset(out)
+    except Exception:  # pragma: no cover - depends on py4j internals
+        return None
+
+
+def _persisted_shuffle_ids(sc) -> frozenset | None:
+    """Shuffle ids reachable from the lineage of every CURRENTLY
+    PERSISTED RDD (Dataset caches included — their column buffers
+    register in ``SparkContext.getPersistentRDDs``). The reclaimer
+    excludes these from any sweep (r12 review): a cached frame whose
+    blocks evict (or whose executor dies, on a cluster) recomputes
+    through its lineage, and ContextCleaner — the behavior the
+    deterministic sweep replaces — would never have deleted a
+    still-referenced shuffle. ``None`` when the py4j walk fails (the
+    caller then declines to sweep this pass — attribution without
+    the referenced-set is not safe)."""
+    try:
+        out: set = set()
+        seen: set = set()
+
+        def visit(rdd) -> None:
+            rid = rdd.id()
+            if rid in seen:
+                return
+            seen.add(rid)
+            deps = rdd.dependencies()
+            for i in range(deps.size()):
+                d = deps.apply(i)
+                if "ShuffleDependency" in d.getClass().getName():
+                    out.add(d.shuffleId())
+                visit(d.rdd())
+
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            visit(getattr(it.next(), "_2")())
         return frozenset(out)
     except Exception:  # pragma: no cover - depends on py4j internals
         return None
@@ -1443,23 +1517,29 @@ class _ShuffleReclaimer:
 
         warnings.warn(msg, RuntimeWarning, stacklevel=4)
 
-    def _window_was_exclusive(self) -> bool:
-        """True iff the window since the last barrier contained OUR
-        group's jobs exclusively: no new foreign job ids (a sibling
-        that ran-and-finished inside the window) and no foreign job
-        active right now (a sibling spanning the window). Updates the
-        foreign census either way."""
+    def _window_was_exclusive(self) -> bool | None:
+        """Tri-state (r12 review — the earlier bool form re-armed a
+        degraded reclaimer and a later pass crashed on
+        ``frozenset - None``): True = the window since the last
+        barrier contained OUR group's jobs exclusively (no new
+        foreign job ids — a sibling that ran-and-finished inside the
+        window — and no foreign job active — one spanning it);
+        False = shared window (skip this sweep, stay armed);
+        None = the attribution internals are unreachable (caller
+        disarms). Updates the foreign census on a readable store."""
+        if self._foreign_seen is None:
+            return None
         now_f = _foreign_job_ids(self._sc, self._group)
         if now_f is None:
-            self._foreign_seen = None
-            self._snapshot = None
-            return False
+            return None
         new_foreign = bool(now_f - self._foreign_seen)
         self._foreign_seen = now_f
         if new_foreign:
             return False
         active = _foreign_jobs_active(self._sc, self._group)
-        return active is False
+        if active is None:
+            return None
+        return not active
 
     def after_pass(self) -> int | None:
         cleaned = None
@@ -1474,9 +1554,12 @@ class _ShuffleReclaimer:
             # queue-lag window of milliseconds, worst case one
             # recoverable stage retry on the sibling.
             census = _live_shuffle_ids(self._sc)
-            if census is None:
-                self._snapshot = None  # internals degraded mid-run
-            elif not self._window_was_exclusive():
+            exclusive = (
+                None if census is None else self._window_was_exclusive()
+            )
+            if exclusive is None:
+                self._snapshot = None  # internals degraded: disarm
+            elif exclusive is False:
                 # don't sweep — but DO re-snapshot, so the shared
                 # window's ids never land in a later pass's diff
                 self._warn_once(
@@ -1490,14 +1573,24 @@ class _ShuffleReclaimer:
                 )
                 self._snapshot = census
             else:
-                cleaned = _reclaim_shuffle_ids(
-                    self._sc, census - self._snapshot
-                )
+                # never sweep a shuffle a live persisted lineage can
+                # still recompute through (r12 review): cache
+                # eviction / executor loss would re-need it, and the
+                # ContextCleaner behavior this replaces only ever
+                # deleted UNREFERENCED shuffles
+                keep = _persisted_shuffle_ids(self._sc)
+                if keep is None:
+                    self._snapshot = None  # can't prove safety: disarm
+                    cleaned = None
+                else:
+                    cleaned = _reclaim_shuffle_ids(
+                        self._sc, census - self._snapshot - keep
+                    )
                 if cleaned is not None:
                     self._snapshot = _live_shuffle_ids(self._sc)
                     if self._snapshot is None:  # degraded mid-run
                         cleaned = None
-                else:
+                elif self._snapshot is not None:
                     self._warn_once(
                         "multiprobe eager passes: deterministic shuffle "
                         "reclamation is unavailable (ContextCleaner or "
@@ -2731,7 +2824,7 @@ def _mp_resolve_mode(
                     hamming_max, dim, n_candidates,
                 )
                 if sampled is not None:
-                    frac, n_sampled, vec_row_bytes = sampled
+                    frac, n_sampled, vec_row_bytes, pairs_per_id = sampled
                     # r12 (r11 verdict #4): a measured compressed
                     # vector-row reading replaces the incompressible
                     # 1 KB survivor worst case — a survivor carries
@@ -2757,6 +2850,10 @@ def _mp_resolve_mode(
                             else round(vec_row_bytes, 1)
                         ),
                         "survivor_row_bytes": srow,
+                        # lower bound on survivor-pair amortization
+                        # over distinct ids (observability only —
+                        # see _mp_sampled_survivor_frac)
+                        "survivor_pairs_per_id": pairs_per_id,
                     }
                     single_pass_guard = MP_TWO_TERM_RESIDUAL_GUARD
         elif unknown_size:

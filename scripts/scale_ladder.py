@@ -531,10 +531,6 @@ def _fresh_cols() -> dict:
     }
 
 
-# legacy alias (seedless form) for any caller that imported the dict
-_FRESH_COLS = _fresh_cols()
-
-
 def _cluster_vec_sql() -> str:
     """--clustered embedding generator: shared md5 cluster center
     (key: source vec_id % NC — spans replication copies, so cluster

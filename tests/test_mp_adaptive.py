@@ -827,13 +827,17 @@ def test_screen_sample_estimator_bounds(spark, emb):
     hi = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, 252, 64, n_cand)
     lo = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, -1, 64, n_cand)
     assert hi is not None and lo is not None
-    frac_hi, n_hi, vb_hi = hi
-    frac_lo, n_lo, vb_lo = lo
+    frac_hi, n_hi, vb_hi, ppi_hi = hi
+    frac_lo, n_lo, vb_lo, ppi_lo = lo
     assert frac_hi == 1.0 and frac_lo == 0.0
     assert n_hi == n_lo >= sim.MP_SCREEN_SAMPLE_MIN
     # random float64 vectors barely compress: the measured per-row
     # shuffle bytes sit near the 512 B raw array size
     assert vb_hi is not None and vb_hi > 256
+    # amortization census: with every candidate surviving, each id
+    # participates in >= 1 pair; with none surviving there is no census
+    assert ppi_hi is not None and ppi_hi >= 1.0
+    assert ppi_lo is None
 
 
 def test_guard_zone_screen_sample_routes_the_decision(emb):

@@ -150,6 +150,68 @@ def test_reclaimer_skips_sweep_under_foreign_jobs(spark, monkeypatch):
     assert r._snapshot is not None  # re-snapshotted, not disarmed
 
 
+def test_reclaimer_disarms_cleanly_on_transient_census_failure(
+    spark, monkeypatch
+):
+    """r12 review finding #1: a transient _foreign_job_ids failure
+    used to null the foreign census but re-arm the shuffle snapshot,
+    so the NEXT pass crashed on `frozenset - None`. The tri-state
+    form must disarm for the rest of the run instead — None recorded,
+    no exception, generic unavailability warning once."""
+    sc = spark.sparkContext
+    r = _ShuffleReclaimer(sc, enabled=True, job_group="me")
+    assert r._snapshot is not None
+    monkeypatch.setattr(sim, "_foreign_job_ids", lambda sc, g: None)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert r.after_pass() is None   # degrades, must not raise
+        assert r.after_pass() is None   # stays disarmed, must not raise
+    assert r._snapshot is None
+    assert r.cleaned_per_pass == [None, None]
+    assert len([x for x in w if "soft" in str(x.message)]) == 1
+
+
+def test_reclaimer_never_sweeps_persisted_lineage(spark):
+    """r12 review finding #4: a shuffle reachable from a live
+    persisted RDD lineage must survive the sweep — cache eviction (or
+    executor loss on a cluster) recomputes through it, and the
+    ContextCleaner behavior the sweep replaces only ever deleted
+    UNREFERENCED shuffles."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _persisted_shuffle_ids,
+        _reclaim_shuffle_ids,
+    )
+
+    sc = spark.sparkContext
+    before = _live_shuffle_ids(sc)
+    cached = (
+        spark.range(0, 100_000)
+        .withColumn("k", F.col("id") % 53)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    assert cached.count() == 53  # materialize: registers the shuffle
+    after = _live_shuffle_ids(sc)
+    new = after - before
+    assert len(new) >= 1
+    keep = _persisted_shuffle_ids(sc)
+    assert keep is not None
+    # the cache-BUILD shuffle is recognized as referenced; the count
+    # job's own aggregation exchange (downstream of the cache) is
+    # genuinely unreferenced and stays sweepable
+    referenced = new & keep
+    assert len(referenced) >= 1
+    # a reclaimer-style sweep of (window - keep) must leave every
+    # referenced shuffle registered
+    swept = _reclaim_shuffle_ids(sc, new - keep)
+    assert swept == len(new - keep)
+    assert _live_shuffle_ids(sc) >= referenced  # still registered
+    cached.unpersist(blocking=True)
+    # once unreferenced, the same sweep may proceed
+    assert _reclaim_shuffle_ids(sc, referenced) == len(referenced)
+
+
 def test_reclaimer_unit_fallback_path(spark, monkeypatch):
     """_ShuffleReclaimer degrades per-pass: a mid-run internals
     failure flips to the nudge and records None for that pass."""

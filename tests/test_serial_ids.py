@@ -205,6 +205,54 @@ def test_pin_auto_detection(spark, sf_dir):
     assert not _plan_is_recompute_stable(randy)
 
 
+def test_pin_auto_detection_order_sensitive_shapes(spark):
+    """r12 review: Spark-'deterministic' is per-row, not
+    multiset-stable — first()-style aggregates, rank windows, and
+    dropDuplicates can return different multisets under shuffle-fetch
+    reordering, UDFs carry an uncheckable user assertion, and a
+    cached frame's stability depends on block survival. All must
+    pin."""
+    from pyspark.sql import Window
+
+    from canadiannewsdatapipeline_spark.operators.serial_ids import (
+        _plan_is_recompute_stable,
+    )
+
+    base = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").cast("string").alias("x"),
+    )
+    # order-sensitive aggregate
+    agg_first = base.groupBy("k").agg(F.first("x").alias("x"))
+    assert not _plan_is_recompute_stable(agg_first)
+    # rank window (ties order arbitrarily)
+    win = base.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("k"))
+    )
+    assert not _plan_is_recompute_stable(win)
+    # dropDuplicates on a subset keeps an arbitrary row per key
+    assert not _plan_is_recompute_stable(base.dropDuplicates(["k"]))
+    # python UDF: deterministic-FLAGGED but a user assertion
+    upper = F.udf(lambda s: s.upper(), "string")
+    assert not _plan_is_recompute_stable(
+        base.select("k", upper(F.col("x")).alias("x"))
+    )
+    # cached frame: stability depends on cache blocks surviving
+    cached = base.persist()
+    try:
+        cached.count()
+        assert not _plan_is_recompute_stable(cached)
+    finally:
+        cached.unpersist()
+    # un-sorted limit returns arbitrary rows
+    assert not _plan_is_recompute_stable(base.limit(5))
+    # ...while plain joins/sorts/unions of stable inputs stay stable
+    joined = base.join(
+        base.select(F.col("k"), F.col("x").alias("y")), "k"
+    ).sort("k")
+    assert _plan_is_recompute_stable(joined)
+
+
 def test_pin_override_both_ways(spark):
     """Explicit pin=True/False override the auto-detection and both
     reproduce the global rank on a deterministic input."""
