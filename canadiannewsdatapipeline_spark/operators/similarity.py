@@ -697,12 +697,23 @@ _MP_CANDIDATE_ROW_BYTES = 70
 # the measured 1.64x. The flat constant stays the zero-knowledge
 # default; the two-term form engages when a measured survivor
 # fraction exists (the guard-zone screen sample below). r12 (r11
-# verdict #4): this constant is the INCOMPRESSIBLE worst case —
-# shuffle files are lz4-compressed and clustered corpora's
-# near-identical vectors compress ~4x, so when the guard-zone sample
-# runs it also MEASURES the compressed per-vector bytes from a real
-# exchange (_mp_sampled_vector_row_bytes) and the measured survivor
-# cost (clamped to at most this constant) replaces it.
+# verdict #4): this constant is the WORST CASE on two counts the
+# guard-zone instruments measure past. (a) It charges TWO vectors
+# per survivor, but the physical attach ships ONE: pass_pairs's
+# verify joins ea onto the survivor pair and re-exchanges that row
+# hashed on id_b, while the eb side crosses its exchange once per
+# distinct id per pass — a per-pass floor, not a per-survivor
+# charge. (b) It assumes incompressible bytes, but the attach join
+# streams its output in id_a order, so high-multiplicity ids lay
+# verbatim ea copies consecutively and lz4 collapses them — the
+# NC=256 rung measured ~163 B/survivor against this 1 KB (every
+# pass at observed/est 0.27, SCALE_LADDER_SKEW_CURVE_r12.json).
+# When the guard-zone sample runs, the RIDER instrument
+# (_mp_sampled_rider_row_bytes) measures the marginal per-survivor
+# bytes through a replica of the real exchange and replaces this
+# constant (clamped to at most it); the per-vector instrument
+# (_mp_sampled_vector_row_bytes) stands as evidence and as the
+# 2-vector fallback when the rider sample is thin.
 _MP_SURVIVOR_ROW_BYTES = 1024
 
 
@@ -1055,6 +1066,90 @@ def _mp_sampled_vector_row_bytes(samp: DataFrame) -> float | None:
     return wrote / n
 
 
+def _mp_sampled_rider_row_bytes(
+    surv_pairs: DataFrame, samp: DataFrame
+) -> float | None:
+    """Measured marginal shuffle bytes PER SURVIVOR through a replica
+    of the real verify-attach micro-plan (r12 follow-up to the vector
+    instrument; closes the clustered over-chunk residual in SCALE.md
+    §Round-12).
+
+    What a survivor actually costs beyond the universal ~70 B base,
+    read off ``pass_pairs``'s physical plan: (a) the screened id-pair
+    exchange hashed on id_a (~16 B), then (b) the attach join's
+    output — (id_a, id_b, ea, sqrt_na), ONE vector riding per pair —
+    re-exchanged hashed on id_b for the eb-side join. The static
+    model's 2-vector charge is therefore ~2x high even before
+    compression; worse, the attach join streams its output in id_a
+    order, so a high-multiplicity id_a lays VERBATIM copies of the
+    same ``ea`` bytes consecutively into each partition segment and
+    lz4 collapses them — the r12 NC=256 rung measured ~163 B per
+    survivor where the model charged 876 (observed/est 0.27 on every
+    pass, SCALE_LADDER_SKEW_CURVE_r12.json). Neither effect is
+    reachable from per-id vector bytes; it must be measured on the
+    pair stream itself.
+
+    Instrument: run the sampled survivors through the SAME micro-plan
+    — SHUFFLE_HASH attach join on id_a, then ``repartition(id_b)``
+    (hash exchange, session shuffle-partition count, row serializer
+    and codec all identical to the real ENSURE_REQUIREMENTS exchange;
+    verified plan-shape: the full rider row sits directly under the
+    exchange) — and read the job-group-scoped shuffle-write bytes
+    over the survivor count. The terminal aggregate folds every
+    column into its sum so ColumnPruning cannot strip the vector
+    payload below the repartition (the same trap class the vector
+    instrument's unique-key rewrite documents). Fidelity caveats,
+    both in the SAFE (over-reading) direction: the q-thinned sample
+    has ~q of the real per-id_a multiplicity, so segment adjacency —
+    and thus compression — is weaker than the real stream's; and the
+    group total includes the small upstream exchanges (sampled pair
+    ids + sampled ev side), which the real survivor also pays or
+    which vanish against the rider term. ``None`` on a thin sample
+    or unreachable status store — the 2-vector worst case then
+    stands.
+
+    Cost disclosure: ONE job over the sampled survivors (~target
+    candidates x survivor fraction rows, bounded by the sample
+    target), same construction-time eagerness class as the screen
+    sample it extends, run only in the guard zone."""
+    sc = samp.sparkSession.sparkContext
+    import uuid as _uuid
+
+    group = f"cndp-mp-rider-{_uuid.uuid4().hex[:12]}"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    pre = _status_store_stage_ids(sc)
+    ev = samp.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("ea"),
+        F.sqrt(_norm2("v")).alias("sqrt_na"),
+    )
+    probe = (
+        surv_pairs.join(ev.hint("SHUFFLE_HASH"), "id_a")
+        .repartition(F.col("id_b"))
+        .agg(
+            F.sum(
+                F.aggregate("ea", F.lit(0.0), lambda a, x: a + x)
+                + F.col("sqrt_na")
+                + F.col("id_a")
+                + F.col("id_b")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        row = probe.collect()[0]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+    n = int(row["n"] or 0)
+    if n < MP_VECTOR_BYTES_SAMPLE_MIN:
+        return None
+    wrote = _group_shuffle_write_bytes(sc, group, pre)
+    if wrote is None or wrote <= 0:
+        return None
+    return wrote / n
+
+
 def _mp_sampled_survivor_frac(
     e: DataFrame,
     pool: int,
@@ -1068,14 +1163,17 @@ def _mp_sampled_survivor_frac(
 ) -> tuple[float, int, float | None, float | None] | None:
     """Candidate-weighted Hamming-screen pass fraction — plus the
     measured compressed per-vector shuffle bytes (r12, see
-    ``_mp_sampled_vector_row_bytes``) and the sampled
-    survivors-per-distinct-id amortization lower bound (r12,
-    observability only) — estimated on a deterministic id-sample of
+    ``_mp_sampled_vector_row_bytes``), the sampled
+    survivors-per-distinct-id adjacency census (r12, observability),
+    and the measured per-survivor RIDER bytes through a replica of
+    the real attach exchange (r12, see
+    ``_mp_sampled_rider_row_bytes`` — the reading the survivor term
+    actually sizes from) — estimated on a deterministic id-sample of
     the corpus: the measured inputs the two-term byte model needs
     BEFORE any pass runs (the pilot can only measure after the
     single-pass/chunk decision is spent). Returns ``(survivor_frac,
     sampled_candidates, vector_row_bytes|None,
-    survivor_pairs_per_id|None)``.
+    survivor_pairs_per_id|None, rider_row_bytes|None)``.
 
     Sampling ids uniformly at rate q thins the candidate stream to
     ~q² of its pairs with each bucket's contribution scaled equally
@@ -1089,11 +1187,14 @@ def _mp_sampled_survivor_frac(
     the static guard. The id hash is seeded and content-free, so
     reruns sample identically.
 
-    Cost disclosure: ONE job, linear in q·N signature rows plus the
-    ~``target`` sampled candidate rows — the same disclosed
-    construction-time eagerness class as the exact count it refines,
-    and run only in the guard zone where the single-pass decision is
-    razor-edge."""
+    Cost disclosure: up to THREE jobs, each linear in q·N signature
+    rows plus the ~``target`` sampled candidate rows (the fraction
+    census, the vector-byte instrument, and — when any survivor was
+    sampled — the rider instrument; the signature mapInPandas over
+    the q-thinned sample recomputes per job rather than persisting a
+    frame this small) — the same disclosed construction-time
+    eagerness class as the exact count it refines, and run only in
+    the guard zone where the single-pass decision is razor-edge."""
     if n_candidates_exact <= 0:
         return None
     import math
@@ -1151,19 +1252,22 @@ def _mp_sampled_survivor_frac(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(surv.cast("double")).alias("frac"),
-            # amortization census (r12, observability only — feeds no
-            # sizing decision yet): how many distinct ids the sampled
-            # survivors touch. The two-term model charges each
-            # surviving PAIR two full vector attaches, but the
-            # physical plan exchanges vectors per distinct id per
-            # pass side — on clustered corpora one id amortizes over
-            # ~cluster-size pairs and the estimate lands ~4x over the
-            # true stream (SCALE.md §Round-12 honest residual). The
-            # q-thinned sample UNDER-counts pairs-per-id by ~q (pairs
-            # scale q², ids scale q), so the derived
-            # survivor_pairs_per_id is a LOWER bound on the true
-            # amortization — recorded so a future round can model it
-            # from data instead of theory.
+            # amortization census (r12): how many distinct ids the
+            # sampled survivors touch. Recorded as the ADJACENCY
+            # covariate behind the rider instrument's compression
+            # reading (high pairs-per-id -> verbatim ea repeats in
+            # the rider exchange's partition segments -> lz4 collapse
+            # — the NC=256 mechanism). It deliberately feeds no
+            # sizing arithmetic: the bytes are governed by the
+            # per-PAIR rider row, not distinct-id fan-out, so
+            # dividing the survivor charge by pairs-per-id (the
+            # design SCALE.md §Round-12 first sketched) is UNSAFE —
+            # at NC=256 even the q-thinned LOWER bound (~tens) would
+            # collapse the survivor term and declare single-pass
+            # safe, while the true single-pass stream (4.2 GB
+            # measured) breaches the 2 GiB budget. The rider
+            # instrument measures the compression the adjacency
+            # actually buys instead of theorizing it.
             F.approx_count_distinct(
                 F.when(surv, F.col("id_a"))
             ).alias("d_a"),
@@ -1182,7 +1286,16 @@ def _mp_sampled_survivor_frac(
         round(2.0 * frac * n_sampled / d_ids, 2) if d_ids else None
     )
     vec_row_bytes = _mp_sampled_vector_row_bytes(samp)
-    return frac, n_sampled, vec_row_bytes, pairs_per_id
+    rider_row_bytes = None
+    if frac > 0.0:
+        surv_pairs = (
+            probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(surv)
+            .select("id_a", "id_b")
+        )
+        rider_row_bytes = _mp_sampled_rider_row_bytes(surv_pairs, samp)
+    return frac, n_sampled, vec_row_bytes, pairs_per_id, rider_row_bytes
 
 
 def _observed_shuffle_write_bytes(sc) -> int | None:
@@ -2824,19 +2937,31 @@ def _mp_resolve_mode(
                     hamming_max, dim, n_candidates,
                 )
                 if sampled is not None:
-                    frac, n_sampled, vec_row_bytes, pairs_per_id = sampled
-                    # r12 (r11 verdict #4): a measured compressed
-                    # vector-row reading replaces the incompressible
-                    # 1 KB survivor worst case — a survivor carries
-                    # ~two attached vectors plus the base id
-                    # exchanges; clamped inside _mp_two_term_bytes
-                    srow = (
-                        None
-                        if vec_row_bytes is None
-                        else int(
+                    (
+                        frac,
+                        n_sampled,
+                        vec_row_bytes,
+                        pairs_per_id,
+                        rider_row_bytes,
+                    ) = sampled
+                    # r12: the survivor charge prefers the RIDER
+                    # reading — marginal bytes per survivor measured
+                    # through a replica of the real attach exchange
+                    # (one vector per pair, in-context lz4 adjacency
+                    # included; see _mp_sampled_rider_row_bytes). The
+                    # 2-vector theory (2 x measured per-vector bytes
+                    # + base) stands as the fallback when the rider
+                    # sample was thin; the static 1 KB worst case
+                    # when both instruments declined. All clamped
+                    # inside _mp_two_term_bytes.
+                    if rider_row_bytes is not None:
+                        srow = int(rider_row_bytes)
+                    elif vec_row_bytes is not None:
+                        srow = int(
                             2 * vec_row_bytes + _MP_CANDIDATE_ROW_BYTES
                         )
-                    )
+                    else:
+                        srow = None
                     est = max(
                         _mp_two_term_bytes(n_candidates, frac, srow), est
                     )
@@ -2849,10 +2974,16 @@ def _mp_resolve_mode(
                             if vec_row_bytes is None
                             else round(vec_row_bytes, 1)
                         ),
+                        "rider_row_bytes": (
+                            None
+                            if rider_row_bytes is None
+                            else round(rider_row_bytes, 1)
+                        ),
                         "survivor_row_bytes": srow,
-                        # lower bound on survivor-pair amortization
-                        # over distinct ids (observability only —
-                        # see _mp_sampled_survivor_frac)
+                        # survivor-pair adjacency census over
+                        # distinct ids (observability — the
+                        # compression covariate, NOT a divisor; see
+                        # _mp_sampled_survivor_frac)
                         "survivor_pairs_per_id": pairs_per_id,
                     }
                     single_pass_guard = MP_TWO_TERM_RESIDUAL_GUARD

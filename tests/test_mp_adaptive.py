@@ -792,6 +792,49 @@ def test_sampled_vector_bytes_reads_real_compression(spark):
     assert vb_const < 0.5 * vb_rnd  # identical vectors compress hard
 
 
+def test_sampled_rider_bytes_reads_adjacency_compression(spark):
+    """r12: the rider instrument must capture what per-id vector
+    bytes cannot — the attach join streams its output in id_a order,
+    so a high-multiplicity id_a lays verbatim ea copies consecutively
+    into each partition segment and lz4 collapses them (the NC=256
+    mechanism: ~163 B/survivor measured against the 876 B 2-vector
+    model). Pin the discrimination: the same random-vector corpus
+    measured through high-multiplicity pairs reads FAR below
+    multiplicity-1 pairs, and both sit below the ~1.1 KB raw row."""
+    from canadiannewsdatapipeline_spark.operators.similarity import (
+        _mp_sampled_rider_row_bytes,
+    )
+
+    n = 500
+    samp = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.rand(7) * F.col("id").cast("double") + j,
+        ).alias("v"),
+    )
+    # multiplicity 40: each id_a pairs with its next 40 ids — the
+    # attach join emits 40 verbatim copies of ea back-to-back
+    dense = samp.select(F.col("id").alias("id_a")).select(
+        "id_a",
+        F.explode(F.sequence(F.lit(1), F.lit(40))).alias("k"),
+    ).select(
+        "id_a", (F.pmod(F.col("id_a") + F.col("k"), F.lit(n))).alias("id_b")
+    )
+    # multiplicity 1: every id_a appears once — no adjacency to collapse
+    sparse = samp.select(F.col("id").alias("id_a")).select(
+        "id_a", F.pmod(F.col("id_a") + 1, F.lit(n)).alias("id_b")
+    )
+    rb_dense = _mp_sampled_rider_row_bytes(dense, samp)
+    rb_sparse = _mp_sampled_rider_row_bytes(sparse, samp)
+    assert rb_dense is not None and rb_sparse is not None
+    assert rb_sparse > 256  # one vector rides, raw-ish
+    assert rb_dense < 0.6 * rb_sparse  # verbatim adjacency collapses
+    # thin sample declines (below MP_VECTOR_BYTES_SAMPLE_MIN rows)
+    thin = sparse.limit(8)
+    assert _mp_sampled_rider_row_bytes(thin, samp) is None
+
+
 def test_k_rule_guard_param():
     """guard=1.0 removes the boundary zone entirely; the narrowed
     residual guard shrinks it without touching interior K."""
@@ -827,8 +870,8 @@ def test_screen_sample_estimator_bounds(spark, emb):
     hi = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, 252, 64, n_cand)
     lo = _mp_sampled_survivor_frac(e, 252, 12, 16, 1, -1, 64, n_cand)
     assert hi is not None and lo is not None
-    frac_hi, n_hi, vb_hi, ppi_hi = hi
-    frac_lo, n_lo, vb_lo, ppi_lo = lo
+    frac_hi, n_hi, vb_hi, ppi_hi, rb_hi = hi
+    frac_lo, n_lo, vb_lo, ppi_lo, rb_lo = lo
     assert frac_hi == 1.0 and frac_lo == 0.0
     assert n_hi == n_lo >= sim.MP_SCREEN_SAMPLE_MIN
     # random float64 vectors barely compress: the measured per-row
@@ -838,6 +881,11 @@ def test_screen_sample_estimator_bounds(spark, emb):
     # participates in >= 1 pair; with none surviving there is no census
     assert ppi_hi is not None and ppi_hi >= 1.0
     assert ppi_lo is None
+    # rider instrument: with survivors it reads a positive marginal
+    # cost bounded by the raw pair row (<= two uncompressed vectors
+    # plus overhead); with no survivor there is nothing to measure
+    assert rb_hi is not None and 0 < rb_hi < 1300
+    assert rb_lo is None
 
 
 def test_guard_zone_screen_sample_routes_the_decision(emb):
@@ -879,15 +927,25 @@ def test_guard_zone_screen_sample_routes_the_decision(emb):
     assert lo["single_pass_guard"] == sim.MP_TWO_TERM_RESIDUAL_GUARD
     assert lo["tables_per_pass"] is None
     assert lo["est_stream_bytes"] == est
-    # frac=1 evidence (everything survives): two-term sized chunk,
-    # strictly finer than the blind minimal chunk
+    # frac=1 evidence (everything survives): two-term sized chunk
+    # from the MEASURED rider cost (r12 — no longer the 2-vector
+    # worst case, so the inflation is the measured rider over the
+    # 70 B base, not a fixed 15x), never coarser than the blind
+    # minimal chunk and with the evidence in the report
     hi = mp_mode_report(
         emb, "vec_id", "embedding", hamming_max=252, sizing="data",
         disk_budget_bytes=budget, **common,
     )
-    assert hi["screen_sample"]["survivor_frac"] == 1.0
-    assert hi["est_stream_bytes"] > est * 10
-    assert hi["tables_per_pass"] < blind["tables_per_pass"]
+    ss = hi["screen_sample"]
+    assert ss["survivor_frac"] == 1.0
+    assert ss["rider_row_bytes"] is not None and ss["rider_row_bytes"] > 0
+    assert ss["survivor_row_bytes"] == int(ss["rider_row_bytes"])
+    assert hi["single_pass_guard"] == sim.MP_TWO_TERM_RESIDUAL_GUARD
+    # every candidate survives, so the estimate grows by the clamped
+    # rider cost over the 70 B base — at least 2x the flat estimate
+    assert hi["est_stream_bytes"] >= est * 2
+    assert hi["tables_per_pass"] is not None
+    assert hi["tables_per_pass"] <= blind["tables_per_pass"]
 
 
 def test_reports_eviction_tracks_recency(monkeypatch):
