@@ -729,14 +729,19 @@ def _mp_two_term_bytes(
     (finer), never coarser than the flat model.
 
     ``survivor_row_bytes`` (r12, r11 verdict #4): a MEASURED
-    compressed per-survivor byte cost replaces the static worst case.
-    The static ``_MP_SURVIVOR_ROW_BYTES`` (1 KB — two raw float64[64]
-    arrays) assumes incompressible vectors; a clustered corpus's
-    near-identical vectors lz4-compress ~4x in real shuffle files, so
-    the worst case over-chunks clustered runs up to ~4x. The measured
-    value is clamped to [``_MP_CANDIDATE_ROW_BYTES``,
+    per-survivor byte cost replaces the static worst case — the
+    rider instrument's marginal reading when the guard-zone sample
+    could take it (one vector rides per pair, in-context lz4
+    adjacency included; see ``_mp_sampled_rider_row_bytes``), else
+    the 2-vector theory over the measured per-vector bytes. The
+    static ``_MP_SURVIVOR_ROW_BYTES`` (1 KB — two raw float64[64]
+    arrays) is wrong on both structure (two vectors charged, one
+    ships) and bytes (verbatim ea repeats collapse under lz4 —
+    ~163 B/survivor true at NC=256), so it over-chunks clustered
+    runs up to ~4x; it survives only as the zero-evidence fallback.
+    The measured value is clamped to [``_MP_CANDIDATE_ROW_BYTES``,
     ``_MP_SURVIVOR_ROW_BYTES``]: never above the calibrated
-    incompressible ceiling (its whole purpose is to shrink it), never
+    worst-case ceiling (its whole purpose is to shrink it), never
     below the base id-exchange cost a survivor also pays."""
     if not 0.0 <= survivor_frac <= 1.0:
         raise ValueError(
