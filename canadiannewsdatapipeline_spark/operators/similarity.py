@@ -1072,7 +1072,9 @@ def _mp_sampled_vector_row_bytes(samp: DataFrame) -> float | None:
 
 
 def _mp_sampled_rider_row_bytes(
-    surv_pairs: DataFrame, samp: DataFrame
+    surv_pairs: DataFrame,
+    samp: DataFrame,
+    upstream_bytes: int | None = None,
 ) -> float | None:
     """Measured marginal shuffle bytes PER SURVIVOR through a replica
     of the real verify-attach micro-plan (r12 follow-up to the vector
@@ -1103,15 +1105,24 @@ def _mp_sampled_rider_row_bytes(
     over the survivor count. The terminal aggregate folds every
     column into its sum so ColumnPruning cannot strip the vector
     payload below the repartition (the same trap class the vector
-    instrument's unique-key rewrite documents). Fidelity caveats,
+    instrument's unique-key rewrite documents).
+
+    ``upstream_bytes`` (review r12): the job's group total also
+    counts the sig/probe/home exchanges upstream of the survivor
+    filter — NOT small (signature words x the probe-mask explosion;
+    at low survivor counts they dominate the reading). The caller
+    measures exactly that pipeline as the census job's own
+    group-scoped bytes (identical lineage, deterministic recompute →
+    bit-equal shuffle bytes) and passes it here to be subtracted,
+    leaving the survivor's true marginal: the screened id-pair
+    exchange plus the rider exchange. Remaining fidelity caveats,
     both in the SAFE (over-reading) direction: the q-thinned sample
     has ~q of the real per-id_a multiplicity, so segment adjacency —
     and thus compression — is weaker than the real stream's; and the
-    group total includes the small upstream exchanges (sampled pair
-    ids + sampled ev side), which the real survivor also pays or
-    which vanish against the rider term. ``None`` on a thin sample
-    or unreachable status store — the 2-vector worst case then
-    stands.
+    sampled ev vector side stays in the net total (a per-pass floor
+    in the real plan, vanishing against the rider term). ``None`` on
+    a thin sample, an unreachable status store, or a non-positive
+    net after subtraction — the 2-vector worst case then stands.
 
     Cost disclosure: ONE job over the sampled survivors (~target
     candidates x survivor fraction rows, bounded by the sample
@@ -1152,6 +1163,10 @@ def _mp_sampled_rider_row_bytes(
     wrote = _group_shuffle_write_bytes(sc, group, pre)
     if wrote is None or wrote <= 0:
         return None
+    if upstream_bytes is not None and upstream_bytes > 0:
+        wrote -= upstream_bytes
+        if wrote <= 0:
+            return None
     return wrote / n
 
 
@@ -1165,7 +1180,7 @@ def _mp_sampled_survivor_frac(
     dim: int,
     n_candidates_exact: int,
     target: int = MP_SCREEN_SAMPLE_TARGET,
-) -> tuple[float, int, float | None, float | None] | None:
+) -> tuple[float, int, float | None, float | None, float | None] | None:
     """Candidate-weighted Hamming-screen pass fraction — plus the
     measured compressed per-vector shuffle bytes (r12, see
     ``_mp_sampled_vector_row_bytes``), the sampled
@@ -1194,12 +1209,17 @@ def _mp_sampled_survivor_frac(
 
     Cost disclosure: up to THREE jobs, each linear in q·N signature
     rows plus the ~``target`` sampled candidate rows (the fraction
-    census, the vector-byte instrument, and — when any survivor was
-    sampled — the rider instrument; the signature mapInPandas over
-    the q-thinned sample recomputes per job rather than persisting a
-    frame this small) — the same disclosed construction-time
-    eagerness class as the exact count it refines, and run only in
-    the guard zone where the single-pass decision is razor-edge."""
+    census, the vector-byte instrument, and — when the expected
+    survivor count ``frac x n_sampled`` clears the
+    ``MP_VECTOR_BYTES_SAMPLE_MIN`` evidence floor — the rider
+    instrument; below the floor the rider job would re-run the
+    signature pipeline only to decline, and a fraction that small
+    makes the survivor term negligible regardless. The signature
+    mapInPandas over the q-thinned sample recomputes per job rather
+    than persisting a frame this small) — the same disclosed
+    construction-time eagerness class as the exact count it refines,
+    and run only in the guard zone where the single-pass decision is
+    razor-edge."""
     if n_candidates_exact <= 0:
         return None
     import math
@@ -1251,37 +1271,56 @@ def _mp_sampled_survivor_frac(
         )
         hamming = term if hamming is None else hamming + term
     surv = hamming <= F.lit(hamming_max)
-    row = (
-        probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(surv.cast("double")).alias("frac"),
-            # amortization census (r12): how many distinct ids the
-            # sampled survivors touch. Recorded as the ADJACENCY
-            # covariate behind the rider instrument's compression
-            # reading (high pairs-per-id -> verbatim ea repeats in
-            # the rider exchange's partition segments -> lz4 collapse
-            # — the NC=256 mechanism). It deliberately feeds no
-            # sizing arithmetic: the bytes are governed by the
-            # per-PAIR rider row, not distinct-id fan-out, so
-            # dividing the survivor charge by pairs-per-id (the
-            # design SCALE.md §Round-12 first sketched) is UNSAFE —
-            # at NC=256 even the q-thinned LOWER bound (~tens) would
-            # collapse the survivor term and declare single-pass
-            # safe, while the true single-pass stream (4.2 GB
-            # measured) breaches the 2 GiB budget. The rider
-            # instrument measures the compression the adjacency
-            # actually buys instead of theorizing it.
-            F.approx_count_distinct(
-                F.when(surv, F.col("id_a"))
-            ).alias("d_a"),
-            F.approx_count_distinct(
-                F.when(surv, F.col("id_b"))
-            ).alias("d_b"),
-        )
-        .collect()[0]
+    # bound ONCE and reused by the census aggregate and the rider's
+    # survivor stream (review r12: a drifted second copy would make
+    # the rider measure a different pair stream than the fraction it
+    # is paired with)
+    cand = probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
     )
+    # the census job runs in its OWN job group so its group-scoped
+    # shuffle bytes — the sig/probe/home exchanges that are exactly
+    # the rider job's upstream, recomputed deterministically — can be
+    # SUBTRACTED from the rider job's total, leaving the survivor's
+    # true marginal cost (review r12: at low survivor counts the
+    # fixed upstream otherwise dominates the per-survivor reading)
+    sc = e.sparkSession.sparkContext
+    import uuid as _uuid
+
+    group_f = f"cndp-mp-screen-{_uuid.uuid4().hex[:12]}"
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    pre_f = _status_store_stage_ids(sc)
+    frac_probe = cand.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(surv.cast("double")).alias("frac"),
+        # amortization census (r12): how many distinct ids the
+        # sampled survivors touch. Recorded as the ADJACENCY
+        # covariate behind the rider instrument's compression
+        # reading (high pairs-per-id -> verbatim ea repeats in
+        # the rider exchange's partition segments -> lz4 collapse
+        # — the NC=256 mechanism). It deliberately feeds no
+        # sizing arithmetic: the bytes are governed by the
+        # per-PAIR rider row, not distinct-id fan-out, so
+        # dividing the survivor charge by pairs-per-id (the
+        # design SCALE.md §Round-12 first sketched) is UNSAFE —
+        # at NC=256 even the q-thinned LOWER bound (~tens) would
+        # collapse the survivor term and declare single-pass
+        # safe, while the true single-pass stream (4.2 GB
+        # measured) breaches the 2 GiB budget. The rider
+        # instrument measures the compression the adjacency
+        # actually buys instead of theorizing it.
+        F.approx_count_distinct(
+            F.when(surv, F.col("id_a"))
+        ).alias("d_a"),
+        F.approx_count_distinct(
+            F.when(surv, F.col("id_b"))
+        ).alias("d_b"),    )
+    sc.setLocalProperty("spark.jobGroup.id", group_f)
+    try:
+        row = frac_probe.collect()[0]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", prev)
+    upstream_bytes = _group_shuffle_write_bytes(sc, group_f, pre_f)
     n_sampled = int(row["n"] or 0)
     if n_sampled < MP_SCREEN_SAMPLE_MIN:
         return None
@@ -1292,14 +1331,18 @@ def _mp_sampled_survivor_frac(
     )
     vec_row_bytes = _mp_sampled_vector_row_bytes(samp)
     rider_row_bytes = None
-    if frac > 0.0:
-        surv_pairs = (
-            probes.join(hb.hint("SHUFFLE_HASH"), ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(surv)
-            .select("id_a", "id_b")
+    # gate on the EXPECTED survivor count (frac x candidates — the
+    # recompute is deterministic, so the count is exactly
+    # predictable): below the evidence floor the rider job would
+    # re-run the whole signature pipeline only to decline (review
+    # r12). Harmless to the estimate — a fraction that small makes
+    # the survivor term negligible against the 70 B base regardless
+    # of srow.
+    if frac * n_sampled >= MP_VECTOR_BYTES_SAMPLE_MIN:
+        surv_pairs = cand.filter(surv).select("id_a", "id_b")
+        rider_row_bytes = _mp_sampled_rider_row_bytes(
+            surv_pairs, samp, upstream_bytes
         )
-        rider_row_bytes = _mp_sampled_rider_row_bytes(surv_pairs, samp)
     return frac, n_sampled, vec_row_bytes, pairs_per_id, rider_row_bytes
 
 
@@ -2971,6 +3014,19 @@ def _mp_resolve_mode(
                         _mp_two_term_bytes(n_candidates, frac, srow), est
                     )
                     est_source += "+screen-sample"
+                    # survivor_row_bytes reports the CLAMPED value the
+                    # model actually charged (review r12: the raw
+                    # instrument readings stay in their own columns,
+                    # so est_stream_bytes is reproducible from the
+                    # reported fields)
+                    srow_charged = (
+                        None
+                        if srow is None
+                        else min(
+                            _MP_SURVIVOR_ROW_BYTES,
+                            max(srow, _MP_CANDIDATE_ROW_BYTES),
+                        )
+                    )
                     screen_sample = {
                         "survivor_frac": round(frac, 4),
                         "sampled_candidates": n_sampled,
@@ -2984,7 +3040,7 @@ def _mp_resolve_mode(
                             if rider_row_bytes is None
                             else round(rider_row_bytes, 1)
                         ),
-                        "survivor_row_bytes": srow,
+                        "survivor_row_bytes": srow_charged,
                         # survivor-pair adjacency census over
                         # distinct ids (observability — the
                         # compression covariate, NOT a divisor; see

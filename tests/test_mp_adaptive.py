@@ -833,6 +833,13 @@ def test_sampled_rider_bytes_reads_adjacency_compression(spark):
     # thin sample declines (below MP_VECTOR_BYTES_SAMPLE_MIN rows)
     thin = sparse.limit(8)
     assert _mp_sampled_rider_row_bytes(thin, samp) is None
+    # upstream subtraction (review r12): a measured upstream total
+    # strictly lowers the net reading; an upstream at or above the
+    # job's own total declines rather than reporting junk
+    rb_net = _mp_sampled_rider_row_bytes(sparse, samp, 50_000)
+    assert rb_net is not None and rb_net < rb_sparse
+    assert rb_net == pytest.approx(rb_sparse - 50_000 / 500, rel=0.02)
+    assert _mp_sampled_rider_row_bytes(sparse, samp, 1 << 40) is None
 
 
 def test_k_rule_guard_param():
@@ -939,7 +946,11 @@ def test_guard_zone_screen_sample_routes_the_decision(emb):
     ss = hi["screen_sample"]
     assert ss["survivor_frac"] == 1.0
     assert ss["rider_row_bytes"] is not None and ss["rider_row_bytes"] > 0
-    assert ss["survivor_row_bytes"] == int(ss["rider_row_bytes"])
+    # survivor_row_bytes is the CLAMPED charge the model used, so the
+    # estimate is reproducible from the reported fields
+    assert ss["survivor_row_bytes"] == min(
+        1024, max(70, int(ss["rider_row_bytes"]))
+    )
     assert hi["single_pass_guard"] == sim.MP_TWO_TERM_RESIDUAL_GUARD
     # every candidate survives, so the estimate grows by the clamped
     # rider cost over the 70 B base — at least 2x the flat estimate
