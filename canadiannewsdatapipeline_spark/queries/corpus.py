@@ -676,7 +676,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("t"),
     )
     flat = toks.select("doc_id", F.explode("t").alias("g"))
-    uni = flat.groupBy(F.col("g").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    # persisted (r12 optimization): uni feeds BOTH the model join and
+    # the vocab count below. Unpersisted, Catalyst plans two separate
+    # subtrees, so the corpus was tokenized+exploded a third time just
+    # to count distinct terms (plan-verified: 3 'Scan parquet
+    # documents' branches). The cache is vocabulary-bounded — one
+    # (term, count) row per distinct token — so it stays negligible at
+    # any corpus scale while cutting the full-corpus regex passes from
+    # 3 to 2 (bi + uni). Local bench: wash (single-row-group inputs
+    # serialize the passes anyway); the win is the removed corpus pass
+    # at scale.
+    uni = (
+        flat.groupBy(F.col("g").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # vocabulary size derives from uni (1 row per term) — a 1-row
     # broadcast with no second explode and no driver-side action
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
