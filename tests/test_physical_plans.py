@@ -427,3 +427,30 @@ def test_bigram_lm_single_occurrence_shuffle(spark):
     assert len(doc_exchanges) == 1, doc_exchanges
     # no occurrence-collapse exchange keyed (doc_id, w1, w2)
     assert not any("w1" in l and "w2" in l for l in doc_exchanges), doc_exchanges
+
+
+def test_bigram_lm_tokenizes_corpus_at_most_twice(spark):
+    # r12 optimization: uni is persisted so the vocab count and the
+    # model join share one tokenize+explode — the corpus-scale regex
+    # pass must not come back a third time. Fresh plan: exactly the
+    # bigram-cache build and the unigram-cache build scan documents.
+    plan = _formatted(spark, "text_bigram_logprob")
+    doc_scans = [
+        l
+        for l in plan.splitlines()
+        if l.startswith("Location:") and "documents.parquet" in l
+    ]
+    assert len(doc_scans) <= 2, doc_scans
+
+
+def test_daily_resample_scans_input_once(spark):
+    # r12 optimization: the date-spine bounds derive from the persisted
+    # daily aggregate (one row per day) instead of a second full scan
+    # of the input — q7's plan must show exactly one events scan.
+    plan = _formatted(spark, "q7_daily_timeseries")
+    ev_scans = [
+        l
+        for l in plan.splitlines()
+        if l.startswith("Location:") and "events.parquet" in l
+    ]
+    assert len(ev_scans) == 1, ev_scans
