@@ -66,8 +66,24 @@ def scd2_apply_changes(
     contain duplicate (key, ts) rows, and without an explicit total
     order the rebuilt version/valid_to assignment is nondeterministic —
     which silently breaks the incremental == full-rebuild invariant.
-    Both ``dim`` and ``batch`` must carry the tiebreak columns."""
-    touched = batch.select(*key_cols).distinct()
+    Both ``dim`` and ``batch`` must carry the tiebreak columns.
+
+    ``touched`` is persisted (r12): both the left-anti and the
+    left-semi branch consume it, and unpersisted each branch re-ran
+    the batch key scan + DISTINCT shuffle (runtime-audited, zero
+    ReusedExchange). The cache is the batch's distinct key set —
+    bounded by the batch, the small side by design — so it stays
+    negligible while halving the batch-key passes. ``dim`` is NOT
+    cached here deliberately: in production it is a materialized
+    table (a scan), and callers where it is a computed subtree cache
+    it themselves (see scd2_incremental_apply)."""
+    from pyspark.storagelevel import StorageLevel
+
+    touched = (
+        batch.select(*key_cols)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     untouched = dim.join(touched, key_cols, "left_anti")
     affected = dim.join(touched, key_cols, "left_semi")
     merged = affected.unionByName(batch, allowMissingColumns=True).drop(

@@ -3658,8 +3658,22 @@ def ann_ivf_pairs(
     With multi-probe a pair can collide in more than one cell;
     duplicates are verified map-side first (at most n_probe extra
     cosines each) and de-duplicated AFTER the threshold via
-    groupBy/max, avoiding a full-candidate-volume shuffle."""
-    cells = ivf_cells(emb, id_col, vec_col, centroid_filter, n_probe)
+    groupBy/max, avoiding a full-candidate-volume shuffle.
+
+    ``cells`` is persisted (r12): both sides of the cell self-join
+    consume it, and unpersisted Catalyst plans the assignment twice —
+    the corpus x centroids cosine scan (the heaviest map work here)
+    ran once per side, 6 corpus scans total (plan-verified). The
+    cached frame is (id, cell) ints, n_probe rows per vector — a few
+    dozen bytes against the 64-float vector it indexes — so it stays
+    negligible at any corpus scale while halving assignment work; the
+    two remaining per-side scans re-attach vector payload, the
+    decide-on-small/re-attach shape that beats caching full vectors."""
+    from pyspark.storagelevel import StorageLevel
+
+    cells = ivf_cells(emb, id_col, vec_col, centroid_filter, n_probe).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     e = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).withColumn("sn", F.sqrt(_norm2("v")))

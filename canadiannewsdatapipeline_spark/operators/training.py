@@ -122,25 +122,43 @@ def contamination_check(
     The n-gram match is an equi-join on the shingle string — the same
     bucketed shape as LSH dedup, linear in corpus shingles, never a
     doc x doc comparison. Train-side shingles are deduplicated before
-    the join so a phrase repeated across the train set counts once."""
+    the join so a phrase repeated across the train set counts once.
+
+    r12 plan shape: the train side is DISTINCT on the shingle, so a
+    LEFT join from the eval shingles preserves exactly one row per
+    eval shingle (matched or not) — n_shingles (count of all rows)
+    and n_contaminated (count of matched rows) come out of ONE
+    aggregate over that join. The previous hits/totals/outer-join
+    triple planned the eval-side shingle subtree twice, costing a
+    third full-corpus tokenize+shingle pass plus a join
+    (plan-verified: 6 -> 3 corpus scans). ``ev_ids`` is persisted —
+    bounded by the eval-set size, by construction a small slice of
+    the corpus — so the predicate scan that computes it runs once,
+    not once per branch."""
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import shingle_set
 
     sh = shingle_set(df, text_col, id_col, n)
-    ev_ids = df.filter(eval_pred).select(F.col(id_col).alias("id"))
+    ev_ids = (
+        df.filter(eval_pred)
+        .select(F.col(id_col).alias("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ev = sh.join(ev_ids, "id")
     train_sh = sh.join(ev_ids, "id", "left_anti").select("shingle").distinct()
-    hits = (
-        ev.join(train_sh, "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    joined = ev.join(
+        train_sh.withColumn("__hit", F.lit(1)), "shingle", "left"
     )
-    totals = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return totals.join(hits, "id", "left").select(
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+    )
+    return per_doc.select(
         "id",
         "n_shingles",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        "n_contaminated",
         (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double")
-            / F.col("n_shingles")
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
         ).alias("contamination_ratio"),
     )

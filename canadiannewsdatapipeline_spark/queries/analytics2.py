@@ -453,9 +453,21 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort and activity frames are both user-cardinality (small
     relative to events), so at scale only the two DISTINCT/MIN passes
     scan the fact table. One IEEE division at the end."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
-    cohorts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    # persisted (r12): cohorts feeds BOTH the per-cohort size count and
+    # the retention join — unpersisted, Catalyst planned the full
+    # events MIN-pass once per consumer (runtime-audited: 3 events
+    # scans, zero ReusedExchange). The cache is user-cardinality, two
+    # columns — already small relative to the fact table at any scale —
+    # and removes one full fact scan + map-side-combined shuffle.
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_week"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     activity = ev.select("user_id", wk.alias("week")).distinct()
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.scd import scd2_apply_changes, scd2_history
 from ..sources.registry import load_table
@@ -78,13 +79,21 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_id rides along as an attr so the incremental rebuild can
     # tiebreak duplicate (user_id, ts) changes exactly like the full
     # rebuild / oracle do; it is dropped from the final projection.
+    # persisted (r12): scd2_apply_changes consumes dim twice (the
+    # left-semi/left-anti key split) — unpersisted, the whole
+    # window-heavy scd2_history subtree planned and ran once per
+    # branch (plan-verified: 5 events scans -> 3). In production the
+    # dimension is a materialized table (a scan, which is why the
+    # operator itself does not cache); here it is a computed subtree,
+    # and the cache holds exactly the dimension the incremental merge
+    # would read from storage.
     dim = scd2_history(
         ev.filter(F.col("ts") < cutoff),
         key_cols=["user_id"],
         ts_col="ts",
         attr_cols=["event_type", "value", "event_id"],
         tiebreak_cols=["event_id"],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     batch = ev.filter(F.col("ts") >= cutoff).select(
         "user_id", "event_type", "value", "event_id",
         F.col("ts").alias("valid_from"),

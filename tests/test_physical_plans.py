@@ -454,3 +454,55 @@ def test_daily_resample_scans_input_once(spark):
         if l.startswith("Location:") and "events.parquet" in l
     ]
     assert len(ev_scans) == 1, ev_scans
+
+
+def _doc_locations(plan: str, table: str) -> list[str]:
+    return [
+        l
+        for l in plan.splitlines()
+        if l.startswith("Location:") and f"{table}.parquet" in l
+    ]
+
+
+def test_contamination_check_scans_corpus_at_most_thrice(spark):
+    # r12 optimization: one left join + single aggregate replaces the
+    # hits/totals/outer-join triple, and ev_ids is persisted — the
+    # fresh plan must hold at three documents scans (eval shingles,
+    # train shingles, ev_ids build), down from six.
+    plan = _formatted(spark, "contamination_check")
+    assert len(_doc_locations(plan, "documents")) <= 3, plan[:2000]
+
+
+def test_ann_ivf_assignment_runs_once(spark):
+    # r12 optimization: the (id, cell) assignment is persisted so the
+    # cell self-join's two sides share one corpus x centroids pass —
+    # at most 4 embeddings scans (cells build incl. centroid slice +
+    # the two vector re-attach sides), down from six.
+    plan = _formatted(spark, "sim_ann_ivf")
+    assert len(_doc_locations(plan, "embeddings")) <= 4, plan[:2000]
+    assert "InMemoryRelation" in plan
+
+
+def test_scd2_incremental_builds_dim_and_touched_once(spark):
+    # r12 optimization: dim (query-level) and the batch's distinct key
+    # set (operator-level) are persisted across the semi/anti split —
+    # at most 3 events scans (dim build, touched build, merged batch),
+    # down from five.
+    plan = _formatted(spark, "scd2_incremental_apply")
+    assert len(_doc_locations(plan, "events")) <= 3, plan[:2000]
+
+
+def test_tfidf_tokenizes_corpus_once(spark):
+    # r12 optimization: tf is persisted so the df aggregate and the
+    # score join share one tokenize+explode — at most 2 documents
+    # scans (tf build + the n_docs count), down from three.
+    plan = _formatted(spark, "text_tfidf_topterms")
+    assert len(_doc_locations(plan, "documents")) <= 2, plan[:2000]
+
+
+def test_cohort_retention_scans_fact_twice(spark):
+    # r12 optimization: the per-user cohorts aggregate is persisted so
+    # the size count and the retention join share one fact MIN-pass —
+    # at most 2 events scans (cohorts build + activity), down from 3.
+    plan = _formatted(spark, "events_cohort_retention")
+    assert len(_doc_locations(plan, "events")) <= 2, plan[:2000]
