@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 TOKEN_RE = "[a-z]+"
 
 
@@ -215,6 +217,12 @@ def _collapse_identical(df: DataFrame, text_col: str, id_col: str):
     from pyspark.storagelevel import StorageLevel
 
     t = tokens_col(text_col)
+    # NOT spread (r12, measured): this cascade is exchange-dominated
+    # cold — 8+ shuffles and four persisted frames over narrow keys —
+    # so spreading the tokenize inputs ADDED wall (0.5x on
+    # dedup_minhash_lsh / dedup_lsh_verified, cold interleaved A/B at
+    # sf0.1); the per-row digest work here is one md5 per document,
+    # not hundreds, and does not clear the spread bar
     keyed = df.select(F.col(id_col).alias("mid"), t.alias("t")).withColumn(
         "tkey", _token_key(F.col("t"))
     )
@@ -713,7 +721,12 @@ def _lsh_verified_pairs_flat(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash) — per-bit majority vote over distinct tokens;
     bit b of a token = parity of the first hex char of md5(b ':' tok)."""
-    toks = (
+    # spread (r12, guide §2.5): the vote stage below runs ``bits`` md5
+    # digests per (id, token) row — compute-bound work whose input the
+    # byte-based AQE coalescing collapses to one task after the
+    # distinct's shuffle (measured 1.2x at sf0.1; the md5-to-bytes
+    # ratio only grows with corpus scale)
+    toks = spread(
         df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
         .distinct()
     )

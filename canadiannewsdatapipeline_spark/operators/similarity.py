@@ -21,6 +21,8 @@ from threading import Lock as _Lock
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def _plane(key_parts: tuple[int, ...], dim: int) -> Column:
     """Literal hyperplane array for plane ``key_parts`` (e.g. (t, p)).
@@ -104,11 +106,17 @@ def _with_cosine_prenormed(pairs: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def _pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    a = emb.select(
-        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("ea")
+    # Both sides spread (r12, guide §2.5): the nested-loop pair join
+    # streams one side, and its partition count caps the parallelism of
+    # the O(N^2) per-pair cosine folds. A byte-sized vector table scans
+    # as one split, serializing the whole quadratic stage on one core
+    # (measured 19.9 s -> 0.8 s at sf0.1). The round-robin exchange is
+    # linear in N — always negligible against the pair work it spreads.
+    a = spread(
+        emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("ea"))
     ).withColumn("sqrt_na", F.sqrt(_norm2("ea")))
-    b = emb.select(
-        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb")
+    b = spread(
+        emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))
     ).withColumn("sqrt_nb", F.sqrt(_norm2("eb")))
     return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
 
@@ -139,7 +147,13 @@ def cosine_topk(
         _as_double(vec_col).alias("ea"),
     )
     q = q.withColumn("sqrt_na", F.sqrt(_norm2("ea")))
-    c = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))
+    # candidates spread (r12): they are the streamed side of the
+    # broadcast nested-loop join below, so their partition count caps
+    # the parallelism of the |Q| x N cosine folds (measured 1.4x at
+    # sf0.1 where the byte-tiny scan otherwise yields one task)
+    c = spread(
+        emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("eb"))
+    )
     c = c.withColumn("sqrt_nb", F.sqrt(_norm2("eb")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("id_b"))
     scored = _with_cosine_prenormed(pairs, "ea", "eb")
@@ -392,12 +406,26 @@ def _ann_lsh_multitable_distinct(
     candidate volume — measured 350 s on 210M candidate rows at ~sf1
     vs map-side verify against a broadcast vector table. The distinct
     runs on post-threshold survivors, which the threshold has already
-    cut by orders of magnitude."""
+    cut by orders of magnitude.
+
+    r12 optimization (guide §2.2/§2.5, measured 14x at sf0.1): the
+    fold-form bucket stage costs n_tables x n_planes x dim interpreted
+    lambda evaluations per row — the most compute-per-byte expression
+    work in the engine — so (a) its input is ``spread`` (byte-based
+    partitioning collapses the KB-sized vector frame to one task and
+    serializes the folds), and (b) the bucket frame is persisted:
+    both sides of the candidate self-join consume it, and without the
+    persist Catalyst plans — and runs — the entire fold stage once per
+    side ((id, tbl, bucket) ints, negligible to cache at any corpus
+    scale). Same CacheManager lifecycle caveat as the cascade persists
+    (see ``ann_lsh_multitable_pairs``)."""
+    from pyspark.storagelevel import StorageLevel
+
     buckets = lsh_multitable_buckets(
-        emb, id_col, vec_col, n_tables, n_planes, dim
-    )
-    e = emb.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        spread(emb), id_col, vec_col, n_tables, n_planes, dim
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e = spread(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     ).withColumn("sn", F.sqrt(_norm2("v")))
     a = buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
@@ -3619,8 +3647,12 @@ def ivf_cells(
     c = emb.filter(centroid_filter).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")
     ).withColumn("snc", F.sqrt(_norm2("cv")))
-    e = emb.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    # spread (r12, guide §2.5): the corpus side streams through the
+    # broadcast cross join below, so its partition count caps the
+    # parallelism of the N x |centroids| assignment folds — the
+    # heaviest map work in the IVF path (part of the measured 2.9x)
+    e = spread(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     ).withColumn("snv", F.sqrt(_norm2("v")))
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
@@ -3674,20 +3706,35 @@ def ann_ivf_pairs(
     cells = ivf_cells(emb, id_col, vec_col, centroid_filter, n_probe).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    e = emb.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    e = spread(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     ).withColumn("sn", F.sqrt(_norm2("v")))
     ce = cells.join(e, "id")
-    a = ce.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("ea"),
-        F.col("sn").alias("sqrt_na"),
+    # in-cell verify spread (r12, guide §2.5, measured 2.9x at sf0.1
+    # with the assignment spread above): the cell self-join multiplies
+    # rows quadratically per cell, so the streamed side's partitioning
+    # caps the verify-fold parallelism; byte-based coalescing collapses
+    # the KB-sized inputs to one task. Hash layout: (cell, id_a) on the
+    # probe side — cell alone has too few distinct values to fill the
+    # partition space (guide §2.5's synthetic-key collision warning) —
+    # and cell on the build side so a shuffle join still co-locates.
+    a = spread(
+        ce.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("ea"),
+            F.col("sn").alias("sqrt_na"),
+            "cell",
+        ),
         "cell",
+        "id_a",
     )
-    b = ce.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("eb"),
-        F.col("sn").alias("sqrt_nb"),
+    b = spread(
+        ce.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("eb"),
+            F.col("sn").alias("sqrt_nb"),
+            "cell",
+        ),
         "cell",
     )
     cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))

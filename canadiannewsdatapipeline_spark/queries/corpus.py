@@ -484,8 +484,15 @@ def sketch_cms_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explode (stack fan-out, no re-scan); counters are one
     map-side-combined shuffle of (d, bucket) pairs. CMS guarantees
     estimate >= exact; collisions only inflate."""
+    from ..operators.spread import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread (r12, guide §2.5): both token passes below (the d x md5
+    # counter tagging and the exact recount) are md5/regex compute
+    # rooted at a byte-sized scan that splits into one task locally;
+    # the round-robin of the raw text is linear and negligible against
+    # the _CMS_D digests per token occurrence it parallelizes
+    toks = spread(docs).select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("tok")
@@ -766,10 +773,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector. At 100 TB the hash join is bucketed by h; a frequency
     clamp on promiscuous windows (boilerplate) bounds fan-out exactly
     like the LSH band clamp."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.dedup import shingle_hash_set
+    from ..operators.spread import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hash_set(docs, "text", "doc_id", n=_SUBSTR_N)
+    # r12 (guide §2.2/§2.5, measured 4.8x at sf0.1): the 10-token
+    # window hashing runs one md5 per window per document — the
+    # heaviest per-row text work in the corpus family — and both sides
+    # of the self-join consume it, so (a) the input is spread (the
+    # byte-sized scan otherwise serializes the digest pass on one
+    # task) and (b) the (id, h) frame is persisted so the pass runs
+    # once, not once per join side (8-byte hashes + ids — a small
+    # fraction of the text it digests at any scale)
+    sh = shingle_hash_set(spread(docs), "text", "doc_id", n=_SUBSTR_N).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = sh.select(F.col("id").alias("id_a"), "h")
     b = sh.select(F.col("id").alias("id_b"), "h")
     return (

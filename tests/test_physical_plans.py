@@ -506,3 +506,42 @@ def test_cohort_retention_scans_fact_twice(spark):
     # at most 2 events scans (cohorts build + activity), down from 3.
     plan = _formatted(spark, "events_cohort_retention")
     assert len(_doc_locations(plan, "events")) <= 2, plan[:2000]
+
+
+def test_compute_bound_cosine_stages_are_spread(spark):
+    # r12 optimization (operators/spread.py): the quadratic per-pair
+    # cosine folds run on the streamed side of a nested-loop join, so
+    # byte-based scan splitting / AQE coalescing would serialize them
+    # on one task; an explicit round-robin repartition to the session's
+    # configured parallelism must be visible in the plan.
+    for name in ("dedup_embedding_cosine", "sim_topk_cosine"):
+        plan = _formatted(spark, name)
+        assert "RoundRobinPartitioning" in plan, name
+
+
+def test_multitable_bucket_fold_shared_and_spread(spark):
+    # r12 optimization: sim_ann_lsh's fold-form bucket stage (the
+    # heaviest interpreted-HOF work in the engine) is persisted so both
+    # candidate-join sides share one fold pass, and its input is spread
+    # so the folds parallelize.
+    plan = _formatted(spark, "sim_ann_lsh")
+    assert "InMemoryRelation" in plan
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_ivf_assignment_and_verify_are_spread(spark):
+    # r12 optimization: the corpus side of the centroid-assignment
+    # cross join is round-robin spread, and the in-cell verify join's
+    # inputs are hash-spread on (cell[, id]) so the quadratic-per-cell
+    # verify folds parallelize instead of collapsing to one task.
+    plan = _formatted(spark, "sim_ann_ivf")
+    assert "RoundRobinPartitioning" in plan
+    assert plan.count("hashpartitioning(cell") >= 2, plan[:2000]
+
+
+def test_exact_substring_digests_once_and_spread(spark):
+    # r12 optimization: the md5-per-window shingle frame is persisted
+    # (both self-join sides consume it) and its input spread.
+    plan = _formatted(spark, "dedup_exact_substring")
+    assert "InMemoryRelation" in plan
+    assert "RoundRobinPartitioning" in plan
