@@ -56,21 +56,30 @@ def connected_components(
     e = pairs.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
     )
+    # Lazy checkpoint: round 1's neighbour join is the first (and only
+    # per-round) consumer, so it materializes the edge cache itself —
+    # an eager checkpoint here ran the whole upstream pair pipeline as
+    # a dedicated extra job before the loop started.
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     lab = nodes.select(F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("lab"))
-    # Lazy checkpoint (r12 optimization, measured 1.2-3.2x on the
-    # sf0.1 build): eager=False defers materialization to the
-    # convergence-check aggregate below, so ONE job per round both
-    # materializes the checkpoint and computes the label sum — the
-    # eager form ran a write job and then a separate read-back job,
-    # i.e. one extra pass over the label frame every round at any
-    # scale. Lineage is truncated identically once materialized.
-    lab = lab.localCheckpoint(eager=False)
-    prev = _label_sum(lab)
 
+    # Lazy checkpoints throughout (r12 optimization, measured
+    # 1.2-3.2x on the sf0.1 build): eager=False defers
+    # materialization to the convergence-check aggregate below, so
+    # ONE job per round both materializes the checkpoint and computes
+    # the label sum — the eager form ran a write job and then a
+    # separate read-back job, i.e. one extra pass over the label
+    # frame every round at any scale. Lineage is truncated
+    # identically once materialized. The initial label frame is not
+    # checkpointed at all: relabeling never touches the id column, so
+    # round 1's aggregate reads the initial label sum back as sum(id)
+    # over its own output (exactly one row per node survives the
+    # total path-halving self-join) — removing the pre-loop
+    # materialization pass over the label frame entirely.
+    prev = None
     for _ in range(max_iter):
         nbr = (
             edges.join(lab.withColumnRenamed("id", "dst"), "dst")
@@ -88,7 +97,14 @@ def connected_components(
             .select("id", F.col("lab2").alias("lab"))
             .localCheckpoint(eager=False)
         )
-        cur = _label_sum(lab)
+        if prev is None:
+            row = lab.agg(
+                F.sum(F.col("id").cast("decimal(38,0)")),
+                F.sum(F.col("lab").cast("decimal(38,0)")),
+            ).collect()[0]
+            prev, cur = int(row[0]), int(row[1])
+        else:
+            cur = _label_sum(lab)
         if cur == prev:
             break
         prev = cur

@@ -51,6 +51,17 @@ def test_cc_components_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_cc_no_edges_converges_in_round_one(spark):
+    # Already-converged graph: round 1's combined sum(id)/sum(lab)
+    # aggregate (the r12 form that reads the initial label sum back
+    # from its own output instead of a pre-loop materialization pass)
+    # must detect the fixpoint immediately and keep lab = id.
+    ids = [3, 7, 42, 9001]
+    lab = connected_components(_nodes(spark, ids), _pairs(spark, []))
+    got = {r["id"]: r["lab"] for r in lab.collect()}
+    assert got == {i: i for i in ids}
+
+
 def test_dup_clusters_keep_one(spark):
     docs = spark.createDataFrame([(i, "x") for i in [10, 11, 12, 20]], "doc_id long, text string")
     out = dup_clusters(docs, _pairs(spark, [(10, 11), (11, 12)]), "doc_id")
