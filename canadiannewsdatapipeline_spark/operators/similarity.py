@@ -418,10 +418,20 @@ def _ann_lsh_multitable_distinct(
     persist Catalyst plans — and runs — the entire fold stage once per
     side ((id, tbl, bucket) ints, negligible to cache at any corpus
     scale). Same CacheManager lifecycle caveat as the cascade persists
-    (see ``ann_lsh_multitable_pairs``)."""
+    (see ``ann_lsh_multitable_pairs``).
+
+    Closing r12 optimization: the bucket stage is the output-identical
+    Arrow kernel (``lsh_multitable_buckets_kernel``), not the literal-
+    fold form — at the 16x4 operating point the fold embedded 64
+    64-literal plane arrays whose analyzer walk dominated the query's
+    cost (measured ~4 s of plan construction per build at sf0.1, the
+    same signal that ported ``sim_topk_ann`` in r11); the kernel keeps
+    the planes in the task closure with zero plan footprint, and
+    kernel/fold parity (NaN and degenerate rows included) is pinned in
+    tests/test_similarity.py."""
     from pyspark.storagelevel import StorageLevel
 
-    buckets = lsh_multitable_buckets(
+    buckets = lsh_multitable_buckets_kernel(
         spread(emb), id_col, vec_col, n_tables, n_planes, dim
     ).persist(StorageLevel.MEMORY_AND_DISK)
     e = spread(

@@ -520,13 +520,16 @@ def test_compute_bound_cosine_stages_are_spread(spark):
 
 
 def test_multitable_bucket_fold_shared_and_spread(spark):
-    # r12 optimization: sim_ann_lsh's fold-form bucket stage (the
-    # heaviest interpreted-HOF work in the engine) is persisted so both
-    # candidate-join sides share one fold pass, and its input is spread
-    # so the folds parallelize.
+    # r12 optimization: sim_ann_lsh's bucket stage (the heaviest
+    # compute-per-byte stage in the engine) is persisted so both
+    # candidate-join sides share one pass, its input is spread so it
+    # parallelizes, and (closing r12) it is the Arrow kernel, not the
+    # 64-literal-array fold form whose analyzer walk cost ~3 s of plan
+    # construction per build.
     plan = _formatted(spark, "sim_ann_lsh")
     assert "InMemoryRelation" in plan
     assert "RoundRobinPartitioning" in plan
+    assert "MapInPandas" in plan
 
 
 def test_ivf_assignment_and_verify_are_spread(spark):
