@@ -115,13 +115,41 @@ def main() -> None:
         if plan_sec is not None:
             detail[name]["plan"] = plan_sec
 
+    emit(timings, detail, sf, n_trials)
+    spark.stop()
+
+
+def emit(
+    timings: dict[str, float],
+    detail: dict[str, dict],
+    sf: float,
+    n_trials: int,
+    detail_path: str | None = None,
+) -> None:
+    """Print the contract line; write the per-query detail to a file.
+
+    stdout carries EXACTLY ONE compact JSON line (total + per-query
+    mins, ~900 chars) so a capture window of 2000 chars — head OR
+    tail — always holds it whole and parseable; the r4/r5 shape
+    (detail inline) overflowed the driver's window and forced both
+    judges to re-run bench to adjudicate round-over-round.
+
+    The per-query mean/n/plan detail must NOT be printed at all: the
+    r11/r12 shape (a second `bench_detail` JSON line on stderr) made
+    the driver's merged-output parser — which takes the LAST JSON line
+    of stdout+stderr combined — read the detail line instead of this
+    contract line, so PERF_r11/PERF_r12 were empty. The detail goes to
+    a FILE next to this script; no second JSON line may exist anywhere
+    in merged stdout+stderr.
+
+    "spread" is an ADDITIVE sibling key (existing keys unchanged): sum
+    of per-query trial means vs the headline sum of mins, plus the
+    trial count, so a reader can bound session noise without the
+    detail file — a sum_mean/value ratio well above ~1.1 flags a
+    loaded box rather than a code change.
+    """
     total = round(sum(timings.values()), 3)
-    # stdout carries EXACTLY ONE compact JSON line (total + per-query
-    # mins, ~800 chars) so a capture window of 2000 chars — head OR
-    # tail — always holds it whole and parseable; the r4/r5 shape
-    # (detail inline) overflowed the driver's window and forced both
-    # judges to re-run bench to adjudicate round-over-round. The
-    # per-query mean/n/plan detail goes to stderr for humans/logs.
+    mean_total = round(sum(d["mean"] for d in detail.values()), 3)
     print(
         json.dumps(
             {
@@ -130,16 +158,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "spread": {
+                    "sum_mean": mean_total,
+                    "trials": n_trials,
+                    "detail_file": "BENCH_DETAIL.json",
+                },
             }
         ),
         flush=True,
     )
-    print(
-        json.dumps({"metric": "bench_detail", "queries_detail": detail}),
-        file=sys.stderr,
-        flush=True,
-    )
-    spark.stop()
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"metric": "bench_detail", "queries_detail": detail}, f, indent=1
+        )
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -253,3 +253,47 @@ def test_stream_queries_are_not_plan_cached():
     for name in QUERIES:
         if name.startswith("stream_"):
             assert not hasattr(QUERIES[name].fn, "__wrapped__"), name
+
+
+def test_bench_emit_prints_exactly_one_json_line(tmp_path, capsys):
+    """The grading driver captures MERGED stdout+stderr from bench.py
+    and parses the LAST JSON line. In r11/r12 a second `bench_detail`
+    JSON line (printed to stderr) landed after the contract line in
+    the merged capture, so the driver read a JSON object without the
+    contract fields and PERF came back empty for two rounds. Pin the
+    fixed shape: emit() prints exactly one line, it is the contract
+    line, stderr gets NOTHING, and the detail goes to a file."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_emit_under_test", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timings = {"q_fast": 0.1, "q_slow": 2.0}
+    detail = {
+        "q_fast": {"min": 0.1, "mean": 0.12, "n": 3, "plan": 0.05},
+        "q_slow": {"min": 2.0, "mean": 2.5, "n": 3},
+    }
+    out_file = tmp_path / "BENCH_DETAIL.json"
+    bench.emit(timings, detail, sf=0.1, n_trials=3, detail_path=str(out_file))
+
+    cap = capsys.readouterr()
+    assert cap.err == "", "bench must print NOTHING to stderr"
+    lines = [ln for ln in cap.out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got {lines}"
+    parsed = _json.loads(lines[0])
+    # required driver-contract fields, unchanged keys
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 2.1
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"] == timings
+    assert parsed["sf"] == 0.1
+    # additive noise-legibility key
+    assert parsed["spread"]["sum_mean"] == 2.62
+    assert parsed["spread"]["trials"] == 3
+    # detail lives in the file, not in any printed stream
+    on_disk = _json.loads(out_file.read_text())
+    assert on_disk["queries_detail"] == detail
