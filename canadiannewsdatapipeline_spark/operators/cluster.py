@@ -9,21 +9,28 @@ collapse to one cluster {a,b,c} even though (a,c) was never emitted.
 
 Spark-first shape: iterative min-label propagation with path-halving
 (each round every node takes the min label over itself and its
-neighbours, then labels shortcut through one pointer hop), which
-converges in O(log diameter) rounds — the same alternating scheme as
-the large-star/small-star map-reduce CC algorithm (Kiveris et al.,
+neighbours, then labels shortcut through one pointer hop) — related
+to the large-star/small-star map-reduce CC family (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14). Every round
 is two shuffles on bigint keys (one neighbour-min aggregate, one
 label-to-label shortcut join); `localCheckpoint` truncates the lineage
 so the plan does not grow with iterations. Convergence is detected by
-the monotonically decreasing exact sum of labels (labels only ever
-drop to a smaller node id), a single-row aggregate per round — no
+a changed-row count carried through the round (labels only ever drop
+to a smaller node id), a single-row aggregate per round — no
 driver-side data movement beyond that scalar.
 
-Dup-pair graphs at corpus scale are overwhelmingly tiny components
-(pairs + short chains from chained near-dups), so the fixpoint
-typically lands in 2-4 rounds; path-halving bounds the worst
-pathological chain at O(log n) rounds.
+Round-count reality (measured, r13, pure-python simulation of this
+exact loop): the min label still has to TRAVEL the graph one hop per
+round; halving shortcuts label-pointer chains but does not square
+them while new mins keep arriving, so convergence is ~diameter/2 +
+O(1) rounds, NOT the O(log diameter) an idealized pointer-doubling
+analysis suggests (a 5000-node near-critical random graph overlaid
+with 30-hop chains measured 33 rounds). Dup-pair graphs at corpus
+scale are overwhelmingly tiny components (pairs + short chains from
+chained near-dups), so the fixpoint typically lands in 1-4 rounds
+and the bound is irrelevant there; `max_iter` (default 50, breaks
+early on convergence so the default costs nothing) is the explicit
+guard for adversarial-diameter graphs.
 
 Reference anchor: the reference's dedup surface stops at per-URL
 row dedup (dbt transformed.sql:16-24 ROW_NUMBER over url); cluster
@@ -37,20 +44,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _label_sum(lab: DataFrame) -> int:
-    # Exact decimal sum: bigint labels over billions of rows can
-    # overflow a bigint accumulator at 100 TB.
-    return int(lab.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0])
-
-
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """(id, lab) with lab = min node id reachable from id over the
-    undirected pair graph. ``nodes`` must have column ``id``
-    (bigint-able); ``pairs`` columns ``id_a``/``id_b``.
+    undirected pair graph.
 
-    Isolated nodes keep lab = id. Exact fixpoint (not an
+    Preconditions (both relied on structurally, state them so callers
+    other than dup_clusters can't violate them silently — r12 advice):
+
+    - ``nodes`` must have column ``id`` (bigint-able) with DISTINCT
+      values, one row per node: the path-halving self-join treats
+      labels as node ids and must stay total and 1:1 (duplicate ids
+      would explode it).
+    - every ``pairs`` endpoint (``id_a``/``id_b``) must be a node id:
+      the seeded first round takes mins over raw neighbour ids, and a
+      label pointing at a non-node would fall out of the halving
+      self-join. Both in-tree callers mine pairs from the same doc
+      frame they cluster, which satisfies this by construction.
+
+    Isolated nodes keep lab = id; empty ``nodes`` returns empty (the
+    changed-count below is 0 on an empty frame, so the loop exits on
+    round 1 — no NULL-sum trap). Exact fixpoint (not an
     approximation), so it agrees with a transitive-closure oracle.
     """
     e = pairs.select(
@@ -64,51 +79,65 @@ def connected_components(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
 
-    lab = nodes.select(F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("lab"))
+    # Seeded start (r13): lab0 = min(id, min neighbour id), computed
+    # straight off the edge list — no label frame exists yet, so the
+    # neighbour min needs NO edges-to-labels join (the most expensive
+    # op of a normal round). This is a full propagation step for the
+    # price of one groupBy + one node-scale left join, and dup-pair
+    # graphs (mostly 2-node components) already reach their fixpoint
+    # here, turning the common case from two full rounds into one.
+    seed_nmin = edges.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("nmin")
+    )
+    lab = (
+        nodes.select(F.col("id").cast("long").alias("id"))
+        .join(seed_nmin, "id", "left")
+        .select("id", F.least("id", F.coalesce("nmin", F.col("id"))).alias("lab"))
+        .localCheckpoint(eager=False)
+    )
 
     # Lazy checkpoints throughout (r12 optimization, measured
     # 1.2-3.2x on the sf0.1 build): eager=False defers
     # materialization to the convergence-check aggregate below, so
     # ONE job per round both materializes the checkpoint and computes
-    # the label sum — the eager form ran a write job and then a
-    # separate read-back job, i.e. one extra pass over the label
-    # frame every round at any scale. Lineage is truncated
-    # identically once materialized. The initial label frame is not
-    # checkpointed at all: relabeling never touches the id column, so
-    # round 1's aggregate reads the initial label sum back as sum(id)
-    # over its own output (exactly one row per node survives the
-    # total path-halving self-join) — removing the pre-loop
-    # materialization pass over the label frame entirely.
-    prev = None
+    # the convergence scalar — the eager form ran a write job and
+    # then a separate read-back job, i.e. one extra pass over the
+    # label frame every round at any scale. Lineage is truncated
+    # identically once materialized. The seed frame is itself a lazy
+    # checkpoint that round 1 materializes as part of its own job.
+    #
+    # Convergence (r13): each round carries the incoming label along
+    # as ``lab0`` (free — it rides the joins the round already does)
+    # and the per-round aggregate counts rows whose label changed.
+    # count(CASE WHEN changed) is 0 on an empty frame where the old
+    # sum-of-labels compare returned NULL, and it drops the r12
+    # reliance on sum(id)-of-round-1-output equalling the initial
+    # label sum (which silently assumed distinct ids twice).
     for _ in range(max_iter):
         nbr = (
-            edges.join(lab.withColumnRenamed("id", "dst"), "dst")
+            edges.join(lab.select("id", "lab").withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("lab").alias("nmin"))
         )
         prop = lab.join(nbr, "id", "left").select(
-            "id", F.least("lab", F.coalesce("nmin", F.col("lab"))).alias("lab")
+            "id",
+            F.col("lab").alias("lab0"),
+            F.least("lab", F.coalesce("nmin", F.col("lab"))).alias("lab"),
         )
         # Path halving: id -> lab -> lab(lab). Labels are node ids, so
         # the self-join is total.
         hop = prop.select(F.col("id").alias("lab"), F.col("lab").alias("lab2"))
         lab = (
             prop.join(hop, "lab")
-            .select("id", F.col("lab2").alias("lab"))
+            .select("id", "lab0", F.col("lab2").alias("lab"))
             .localCheckpoint(eager=False)
         )
-        if prev is None:
-            row = lab.agg(
-                F.sum(F.col("id").cast("decimal(38,0)")),
-                F.sum(F.col("lab").cast("decimal(38,0)")),
-            ).collect()[0]
-            prev, cur = int(row[0]), int(row[1])
-        else:
-            cur = _label_sum(lab)
-        if cur == prev:
+        n_changed = lab.agg(
+            F.count(F.when(F.col("lab") != F.col("lab0"), F.lit(1)))
+        ).collect()[0][0]
+        if n_changed == 0:
             break
-        prev = cur
-    return lab
+    return lab.select("id", "lab")
 
 
 def dup_clusters(
