@@ -424,7 +424,7 @@ def _ann_lsh_multitable_distinct(
     Arrow kernel (``lsh_multitable_buckets_kernel``), not the literal-
     fold form — at the 16x4 operating point the fold embedded 64
     64-literal plane arrays whose analyzer walk dominated the query's
-    cost (measured ~4 s of plan construction per build at sf0.1, the
+    cost (measured 2.66 s of plan construction per build at sf0.1, the
     same signal that ported ``sim_topk_ann`` in r11); the kernel keeps
     the planes in the task closure with zero plan footprint, and
     kernel/fold parity (NaN and degenerate rows included) is pinned in

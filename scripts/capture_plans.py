@@ -1,8 +1,8 @@
 """Capture .explain("formatted") for the bench headline queries.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r12/<query>_<suffix>.txt for each headline query (or the
-given subset). Judge-facing artifact for OPTIMIZATION_r12.md claims.
+Writes plans/r13/<query>_<suffix>.txt for each headline query (or the
+given subset). Judge-facing artifact for OPTIMIZATION_r13.md claims.
 """
 from __future__ import annotations
 
@@ -15,7 +15,7 @@ from bench import HEADLINE  # noqa: E402
 from canadiannewsdatapipeline_spark.queries import QUERIES  # noqa: E402
 from canadiannewsdatapipeline_spark.session import get_spark  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
 
 
 def main() -> None:

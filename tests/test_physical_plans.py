@@ -524,7 +524,7 @@ def test_multitable_bucket_fold_shared_and_spread(spark):
     # compute-per-byte stage in the engine) is persisted so both
     # candidate-join sides share one pass, its input is spread so it
     # parallelizes, and (closing r12) it is the Arrow kernel, not the
-    # 64-literal-array fold form whose analyzer walk cost ~3 s of plan
+    # 64-literal-array fold form whose analyzer walk cost 2.66 s of plan
     # construction per build.
     plan = _formatted(spark, "sim_ann_lsh")
     assert "InMemoryRelation" in plan
